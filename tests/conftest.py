@@ -1,0 +1,22 @@
+"""Test config: force JAX onto a virtual 8-device CPU mesh.
+
+Tests must not depend on the single real TPU (and must exercise the
+multi-chip sharding paths), so we pin JAX_PLATFORMS=cpu with 8 virtual
+host devices BEFORE jax initializes.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
