@@ -1,0 +1,50 @@
+#!/usr/bin/env python
+"""demo2: the reference's regression driver (SURVEY.md §3.5) — dmperm
+stats + QR/LU/Cholesky solves with residual table.
+
+Usage: python cs_demo2.py data/<matrix> [--tpu]
+       python cs_demo2.py --all [--tpu]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from tpusparse.demo import demo2, get_problem
+
+DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "data")
+SUITE = ["t1", "bcsstk01", "fs_183_1", "west0479", "ash219", "lp_afiro",
+         "ibm32a", "ibm32b", "mbeacxc", "bcsstk16"]
+
+
+def run(path, engine=None):
+    name = os.path.basename(path)
+    with open(path) as fh:
+        prob = get_problem(fh, tol=1e-14 if name != "t1" else 0.0)
+    print(f"\n--- Matrix: {name} ({prob.A.m}-by-{prob.A.n}, "
+          f"nnz: {prob.A.nnz}, sym: {prob.sym}) ---")
+    return demo2(prob, engine=engine)
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    engine = None
+    if "--tpu" in args:
+        args.remove("--tpu")
+        from tpusparse.device import solvers as engine
+    if args and args[0] == "--all":
+        for name in SUITE:
+            p = os.path.join(DATA, name)
+            if os.path.exists(p):
+                run(p, engine)
+    elif args:
+        run(args[0], engine)
+    else:
+        print(__doc__)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
