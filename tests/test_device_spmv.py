@@ -1,0 +1,49 @@
+"""Device SpMV (ELL/XLA and BELL/Pallas-interpret) vs the host gaxpy."""
+
+import numpy as np
+import pytest
+
+from tpusparse.core import gaxpy
+from tpusparse.device import spmv_plan, gaxpy_device
+from helpers import random_csc, random_spd
+
+
+def test_ell_spmv_matches_host(rng):
+    A, S = random_csc(rng, 50, 37, density=0.15)
+    x = rng.normal(size=37)
+    plan = spmv_plan(A, mode="ell")
+    y = np.asarray(plan.apply(x))
+    assert np.allclose(y, S.toarray() @ x, atol=1e-5)
+    assert plan.waste_ratio < 0.95
+
+
+def test_bell_spmv_matches_host(rng):
+    A, S = random_spd(rng, 40, density=0.4)
+    x = rng.normal(size=40)
+    plan = spmv_plan(A, mode="bell")
+    y = np.asarray(plan.apply(x))
+    assert np.allclose(y, S.toarray() @ x, atol=1e-4)
+
+
+def test_gaxpy_device(rng):
+    A, S = random_csc(rng, 30, 30, density=0.2)
+    x = rng.normal(size=30)
+    y = rng.normal(size=30)
+    got = gaxpy_device(A, x, y)
+    want = gaxpy(A, x, y)
+    assert np.allclose(got, want, atol=1e-5)
+
+
+def test_plan_metrics(rng):
+    A, S = random_csc(rng, 64, 64, density=0.1)
+    plan = spmv_plan(A, mode="ell")
+    assert plan.flops == 2 * A.nnz
+    assert plan.bytes_min <= plan.bytes_padded
+
+
+def test_auto_mode_picks_something(rng):
+    A, S = random_csc(rng, 64, 64, density=0.1)
+    plan = spmv_plan(A, mode="auto")
+    assert plan.mode in ("ell", "bell")
+    x = rng.normal(size=64)
+    assert np.allclose(np.asarray(plan.apply(x)), S.toarray() @ x, atol=1e-4)

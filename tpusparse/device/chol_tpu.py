@@ -1,0 +1,286 @@
+"""Block-tiled right-looking Cholesky on TPU.
+
+The TPU-native redesign of csparse::cs_chol (SURVEY.md §3.1, §7.1 stage 3
+and BASELINE.json's north star): symbolic analysis runs once on host and
+emits a STATIC block schedule; the numeric factorization is a fixed
+sequence of dense-tile ops executed on device under one jit:
+
+  per panel k (block column of width B):
+    1. FACTOR   : dense Cholesky of the BxB diagonal tile
+    2. TRSM     : batched  L(I,k) <- A(I,k) @ L(k,k)^-T     (MXU batch)
+    3. SYRK/GEMM: batched  A(I,J) -= L(I,k) @ L(J,k)^T      (MXU batch)
+
+Tiles live in one (T, B, B) HBM pool; the host planner computes the
+block-level fill (symbolic Cholesky on the tile quotient graph), assigns
+pool slots, and precomputes every gather/scatter index — the device loop
+has NO data-dependent control flow (SURVEY.md §7.0).
+
+Numerically: f32 with Precision.HIGHEST (bf16 default is not enough —
+BASELINE.md probe), reference-grade ~1e-16 residuals via host-f64
+iterative refinement (tpusparse.device.refine).
+
+Failure contract: like the reference (cs_chol returns None for non-SPD),
+``factor`` returns ok=False when a diagonal tile fails (NaN check on
+host after the device run).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.matrix import CSCMatrix
+from ..core.ops import permute
+from ..core.perm import ipvec, pvec, pinv as _pinv
+from ..symbolic.amd import amd
+from .config import DTYPE, HIGHEST, default_block, round_up
+
+__all__ = ["CholPlan", "plan_cholesky", "TpuCholesky"]
+
+_IDX = np.int64
+
+
+# ---------------------------------------------------------------- planning
+def _block_fill(n: int, B: int, indptr, indices) -> List[set]:
+    """Block-level Cholesky fill on the tile quotient graph: colpat[J] =
+    tile rows I >= J of L's block column J, computed by the standard
+    parent-merge symbolic factorization (block analog of
+    cs_etree/cs_counts)."""
+    nb = round_up(n, B) // B
+    colpat = [set() for _ in range(nb)]
+    cols = np.repeat(np.arange(n, dtype=_IDX), np.diff(indptr))
+    ti = np.asarray(indices) // B
+    tj = cols // B
+    lower = ti >= tj
+    for I, J in zip(ti[lower], tj[lower]):
+        colpat[int(J)].add(int(I))
+    for J in range(nb):
+        colpat[J].add(J)
+        above = sorted(i for i in colpat[J] if i > J)
+        if above:
+            parent = above[0]
+            colpat[parent] |= {i for i in colpat[J] if i > J and i != parent}
+            colpat[parent].add(parent)
+    return colpat
+
+
+@dataclass
+class CholPlan:
+    """Static device schedule for one sparsity pattern."""
+    n: int
+    B: int
+    nb: int
+    perm: Optional[np.ndarray]          # fill-reducing permutation p
+    pinv: Optional[np.ndarray]
+    diag_id: np.ndarray                 # (nb,) pool slot of tile (k,k)
+    off_ids: List[np.ndarray]           # per k: pool slots of L(I,k), I>k
+    off_rows: List[np.ndarray]          # per k: tile-row I of each off slot
+    upd_dst: List[np.ndarray]           # per k: dst pool slots
+    upd_a: List[np.ndarray]             # per k: position (in off list) of I
+    upd_b: List[np.ndarray]             # per k: position of J
+    pool_init: np.ndarray               # (T, B, B) f32 initial tiles
+    flops_true: int                     # scalar factorization flops
+    flops_padded: int                   # dense-tile flops actually issued
+    lnz: int
+
+    @property
+    def waste_ratio(self) -> float:
+        return 1.0 - self.flops_true / max(self.flops_padded, 1)
+
+
+def plan_cholesky(A: CSCMatrix, order: int = 1,
+                  block: Optional[int] = None) -> CholPlan:
+    """Host planning: AMD ordering, block fill, slot assignment, tile
+    scatter, op lists (runs once per pattern — SURVEY.md §7.0)."""
+    n = A.n
+    B = block or min(default_block(), max(8, round_up(n, 8)))
+    p = amd(order, A)
+    piv = _pinv(p) if p is not None else None
+    C = permute(A, piv, p, values=True) if p is not None else A
+    nb = round_up(n, B) // B
+    colpat = _block_fill(n, B, C.indptr, C.indices)
+    # slot assignment: diagonal tiles first, then off-diagonals per column
+    diag_id = np.zeros(nb, dtype=_IDX)
+    slot_of = {}
+    T = 0
+    for k in range(nb):
+        diag_id[k] = T
+        slot_of[(k, k)] = T
+        T += 1
+    off_rows: List[np.ndarray] = []
+    off_ids: List[np.ndarray] = []
+    for k in range(nb):
+        rows = sorted(i for i in colpat[k] if i > k)
+        ids = []
+        for i in rows:
+            slot_of[(i, k)] = T
+            ids.append(T)
+            T += 1
+        off_rows.append(np.asarray(rows, dtype=_IDX))
+        off_ids.append(np.asarray(ids, dtype=_IDX))
+    # update ops per panel
+    upd_dst, upd_a, upd_b = [], [], []
+    for k in range(nb):
+        rows = off_rows[k]
+        dsts, aa, bb = [], [], []
+        for bpos, J in enumerate(rows):
+            for apos in range(bpos, len(rows)):
+                I = rows[apos]
+                dsts.append(slot_of[(int(I), int(J))])
+                aa.append(apos)
+                bb.append(bpos)
+        upd_dst.append(np.asarray(dsts, dtype=_IDX))
+        upd_a.append(np.asarray(aa, dtype=_IDX))
+        upd_b.append(np.asarray(bb, dtype=_IDX))
+    # scatter C into the pool; padded diagonal gets 1.0 so the dense tile
+    # Cholesky stays nonsingular
+    pool = np.zeros((T, B, B), dtype=np.float32)
+    cols = np.repeat(np.arange(n, dtype=_IDX), np.diff(C.indptr))
+    ti = C.indices // B
+    tj = cols // B
+    keep = ti >= tj                      # lower triangle drives the factor
+    for pos in np.flatnonzero(keep):
+        i = int(C.indices[pos])
+        j = int(cols[pos])
+        s = slot_of[(i // B, j // B)]
+        pool[s, i - (i // B) * B, j - (j // B) * B] = C.data[pos]
+    for d in range(n, nb * B):           # padded diagonal
+        k = d // B
+        pool[diag_id[k], d - k * B, d - k * B] = 1.0
+    # flop accounting
+    from ..symbolic.etree import counts, etree, post
+    from ..core.ops import symperm
+    Cu = symperm(A, piv, values=False)
+    par = etree(Cu)
+    cnt = counts(Cu, par, post(par))
+    lnz = int(cnt.sum())
+    flops_true = int(np.sum(cnt.astype(np.float64) ** 2))
+    fp = 0
+    for k in range(nb):
+        r = len(off_rows[k])
+        fp += B ** 3 // 3 + r * B ** 3 + len(upd_dst[k]) * 2 * B ** 3
+    return CholPlan(n=n, B=B, nb=nb, perm=p, pinv=piv, diag_id=diag_id,
+                    off_ids=off_ids, off_rows=off_rows, upd_dst=upd_dst,
+                    upd_a=upd_a, upd_b=upd_b, pool_init=pool,
+                    flops_true=flops_true, flops_padded=fp, lnz=lnz)
+
+
+# ---------------------------------------------------------------- device
+def _factor_fn(plan: CholPlan):
+    """Build the jittable factorization: pool -> L pool."""
+    nb = plan.nb
+    diag_id = [int(i) for i in plan.diag_id]
+    off_ids = [jnp.asarray(x, jnp.int32) for x in plan.off_ids]
+    upd_dst = [jnp.asarray(x, jnp.int32) for x in plan.upd_dst]
+    upd_a = [jnp.asarray(x, jnp.int32) for x in plan.upd_a]
+    upd_b = [jnp.asarray(x, jnp.int32) for x in plan.upd_b]
+
+    def factor(pool):
+        for k in range(nb):
+            dk = pool[diag_id[k]]
+            Lkk = jnp.linalg.cholesky(dk)
+            pool = pool.at[diag_id[k]].set(Lkk)
+            if plan.off_ids[k].size:
+                X = pool[off_ids[k]]                     # (r, B, B)
+                Lb_ = jnp.broadcast_to(Lkk, X.shape)
+                Y = jax.lax.linalg.triangular_solve(
+                    Lb_, X, left_side=False, lower=True, transpose_a=True)
+                pool = pool.at[off_ids[k]].set(Y)
+                if plan.upd_dst[k].size:
+                    La = Y[upd_a[k]]                     # (u, B, B)
+                    Lb = Y[upd_b[k]]
+                    delta = jnp.einsum("uij,ukj->uik", La, Lb,
+                                       precision=HIGHEST)
+                    pool = pool.at[upd_dst[k]].add(-delta)
+        return pool
+
+    return factor
+
+
+def _solve_fn(plan: CholPlan):
+    """Build the jittable L L' solve on the factored pool:
+    (pool, b_tiles) -> x_tiles, forward then backward block substitution."""
+    nb, B = plan.nb, plan.B
+    diag_id = [int(i) for i in plan.diag_id]
+    off_ids = [jnp.asarray(x, jnp.int32) for x in plan.off_ids]
+    off_rows = [jnp.asarray(x, jnp.int32) for x in plan.off_rows]
+
+    def solve(pool, bt):                                  # bt: (nb, B)
+        # forward: L y = b
+        for k in range(nb):
+            Lkk = pool[diag_id[k]]
+            xk = jax.lax.linalg.triangular_solve(
+                Lkk, bt[k][:, None], left_side=True, lower=True)[:, 0]
+            bt = bt.at[k].set(xk)
+            if plan.off_ids[k].size:
+                blocks = pool[off_ids[k]]                 # (r, B, B)
+                delta = jnp.einsum("rij,j->ri", blocks, xk,
+                                   precision=HIGHEST)
+                bt = bt.at[off_rows[k]].add(-delta)
+        # backward: L' x = y
+        for k in range(nb - 1, -1, -1):
+            acc = bt[k]
+            if plan.off_ids[k].size:
+                blocks = pool[off_ids[k]]
+                xs = bt[off_rows[k]]                      # (r, B)
+                acc = acc - jnp.einsum("rij,ri->j", blocks, xs,
+                                       precision=HIGHEST)
+            Lkk = pool[diag_id[k]]
+            xk = jax.lax.linalg.triangular_solve(
+                Lkk, acc[:, None], left_side=True, lower=True,
+                transpose_a=True)[:, 0]
+            bt = bt.at[k].set(xk)
+        return bt
+
+    return solve
+
+
+class TpuCholesky:
+    """Plan + factor + solve driver for the device Cholesky.
+
+    Usage:
+        F = TpuCholesky(A, order=1)      # host planning + jit
+        ok = F.factor()                   # device factorization (f32)
+        x = F.solve(b)                    # device solves + f64 refinement
+    """
+
+    def __init__(self, A: CSCMatrix, order: int = 1,
+                 block: Optional[int] = None):
+        self.A = A
+        self.plan = plan_cholesky(A, order=order, block=block)
+        self._factor = jax.jit(_factor_fn(self.plan))
+        self._solve = jax.jit(_solve_fn(self.plan))
+        self.pool = None
+
+    def factor(self) -> bool:
+        pool = self._factor(jnp.asarray(self.plan.pool_init))
+        # failure detection: non-SPD -> NaN in a diagonal tile
+        diag = pool[jnp.asarray(self.plan.diag_id.astype(np.int32))]
+        ok = bool(jnp.all(jnp.isfinite(diag)))
+        if ok:
+            self.pool = pool
+        return ok
+
+    def _solve_f32(self, b: np.ndarray) -> np.ndarray:
+        plan = self.plan
+        nb, B, n = plan.nb, plan.B, plan.n
+        bp = pvec(plan.perm, np.asarray(b, np.float64)) \
+            if plan.perm is not None else np.asarray(b, np.float64)
+        bt = np.zeros((nb, B), dtype=np.float32)
+        bt.reshape(-1)[:n] = bp
+        xt = self._solve(self.pool, jnp.asarray(bt))
+        xp = np.asarray(xt, dtype=np.float64).reshape(-1)[:n]
+        # x = P' x_perm  (undo the fill-reducing row/col permutation)
+        return ipvec(plan.perm, xp) if plan.perm is not None else xp
+
+    def solve(self, b: np.ndarray, refine_iters: int = 3) -> np.ndarray:
+        """Solve A x = b: f32 device solves + f64 host iterative
+        refinement to reference-grade residuals (BASELINE.md probe #3)."""
+        from .refine import refine
+        if self.pool is None and not self.factor():
+            raise ValueError("matrix is not positive definite")
+        return refine(self.A, self._solve_f32, b, iters=refine_iters)

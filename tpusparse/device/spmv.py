@@ -1,0 +1,165 @@
+"""Device SpMV / gaxpy (reference: csparse::cs_gaxpy — SURVEY.md §2.2).
+
+Two TPU paths, chosen per matrix:
+
+- ``ell``: scalar ELL slab, y = sum_k vals[:,k] * x[cols[:,k]] — an XLA
+  gather+fma chain, memory-bound, low padding waste.  The production path
+  for unstructured sparsity; targets the >=80%-of-STREAM goal
+  (BASELINE.json north star) since its traffic is ~ the CSR minimum when
+  row lengths are even.
+- ``bell``: 128x128 dense-tile block-ELL driven by a Pallas kernel — the
+  MXU path for block-structured matrices (supernodal factors, BTF
+  blocks); runs compiled on TPU and interpret=True elsewhere.
+
+Both are planned once per sparsity pattern on host and jitted once per
+shape (SURVEY.md §7.0).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.matrix import CSCMatrix
+from .config import DTYPE, HIGHEST, pallas_interpret, round_up
+from .formats import BellMatrix, EllMatrix, to_bell, to_ell
+
+__all__ = ["SpmvPlan", "spmv_plan", "gaxpy_device"]
+
+try:  # Pallas import kept optional so the XLA path never depends on it
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+@functools.partial(jax.jit, donate_argnums=())
+def _ell_spmv(vals, cols, x):
+    """y = A @ x on the ELL slab (gather + fma, VPU/HBM bound)."""
+    return jnp.sum(vals * x[cols], axis=1)
+
+
+def _bell_kernel(tile_cols_ref, vals_ref, x_ref, o_ref, *, K: int, bm: int,
+                 bk: int):
+    """One grid step = one tile row: y_i = sum_s vals[i,s] @ x[cols[i,s]]."""
+    i = pl.program_id(0)
+
+    def body(s, acc):
+        c = tile_cols_ref[i, s]
+        xs = x_ref[c, :]                           # (bk,) dynamic tile of x
+        a = vals_ref[0, s]                         # (bm, bk)
+        return acc + jnp.dot(a, xs, precision=HIGHEST,
+                             preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, K, body, jnp.zeros((bm,), jnp.float32))
+    o_ref[0, :] = acc
+
+
+def _build_bell_fn(B: BellMatrix) -> Callable:
+    nbr = B.vals.shape[0]
+    nbc = round_up(B.n, B.bk) // B.bk
+    K, bm, bk = B.K, B.bm, B.bk
+    kernel = functools.partial(_bell_kernel, K=K, bm=bm, bk=bk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbr,),
+        in_specs=[
+            pl.BlockSpec((1, K, bm, bk), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x: full (nbc, bk)
+        ],
+        out_specs=pl.BlockSpec((1, bm), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nbr, bm), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=pallas_interpret(),
+    )
+
+    @jax.jit
+    def fn(vals, tile_cols, x):
+        xp = jnp.zeros((nbc * bk,), DTYPE).at[:x.size].set(x)
+        y = call(tile_cols, vals, xp.reshape(nbc, bk))
+        return y.reshape(-1)
+
+    return fn
+
+
+@dataclass
+class SpmvPlan:
+    """Once-per-pattern SpMV plan: device buffers + jitted apply."""
+    m: int
+    n: int
+    mode: str
+    flops: int
+    bytes_min: int
+    bytes_padded: int
+    waste_ratio: float
+    _apply: Callable = None
+    _bufs: tuple = None
+
+    def apply(self, x) -> jnp.ndarray:
+        """y = A @ x (device)."""
+        x = jnp.asarray(x, DTYPE)
+        y = self._apply(*self._bufs, x)
+        return y[:self.m]
+
+    def gaxpy(self, x, y) -> jnp.ndarray:
+        """y + A @ x — the reference cs_gaxpy contract, functional."""
+        return jnp.asarray(y, DTYPE).at[:self.m].add(self.apply(x))
+
+
+def spmv_plan(A: CSCMatrix, mode: str = "auto") -> SpmvPlan:
+    """Plan a device SpMV for the pattern of A.
+
+    mode: 'ell' (XLA gather path), 'bell' (Pallas MXU tile path), or
+    'auto' (bell only when tile occupancy is worthwhile).
+    """
+    if mode == "auto":
+        mode = "ell"
+        if _HAS_PALLAS and A.nnz > 0:
+            Bprobe = None
+            # quick occupancy probe on the 128x128 tiling
+            nbc = round_up(A.n, 128) // 128
+            cols_of = np.repeat(np.arange(A.n), np.diff(A.indptr))
+            keys = (A.indices // 128) * nbc + cols_of // 128
+            ntiles = np.unique(keys).size
+            occ = A.nnz / max(ntiles * 128 * 128, 1)
+            if occ > 0.25:
+                mode = "bell"
+    if mode == "bell":
+        if not _HAS_PALLAS:
+            raise RuntimeError("pallas unavailable for bell mode")
+        B = to_bell(A, bm=128, bk=128)
+        fn = _build_bell_fn(B)
+        return SpmvPlan(
+            m=A.m, n=A.n, mode="bell", flops=B.flops,
+            bytes_min=A.nnz * 8 + (A.m + A.n) * 4,
+            bytes_padded=B.vals.size * 4 + B.tile_cols.size * 4
+            + (A.m + A.n) * 4,
+            waste_ratio=B.waste_ratio,
+            _apply=fn,
+            _bufs=(jnp.asarray(B.vals), jnp.asarray(B.tile_cols)),
+        )
+    E = to_ell(A)
+    return SpmvPlan(
+        m=A.m, n=A.n, mode="ell", flops=E.flops,
+        bytes_min=E.bytes_min, bytes_padded=E.bytes_padded,
+        waste_ratio=1.0 - A.nnz / max(E.vals.size, 1),
+        _apply=_ell_spmv,
+        _bufs=(jnp.asarray(E.vals), jnp.asarray(E.cols)),
+    )
+
+
+def gaxpy_device(A: CSCMatrix, x, y) -> np.ndarray:
+    """One-shot device gaxpy (plans, runs, returns numpy)."""
+    plan = spmv_plan(A)
+    return np.asarray(plan.gaxpy(x, y))
