@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Benchmark: supernodal (block-tiled) Cholesky factorization on device
+vs the host f64 engine (the reference-equivalent implementation), plus
+SpMV bandwidth.  Prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+vs_baseline = host_engine_time / device_time on the same problem — the
+reference (rwl/CSparse.py) publishes no numbers (BASELINE.md), so the
+framework's own reference-grade host engine is the baseline denominator.
+
+Caveat recorded in BASELINE.md: axon wall-clock is non-physical, so the
+JSON also carries the analytic flop accounting (flops_true, waste_ratio)
+needed to score the 30%-of-MXU target structurally.
+
+Env knobs: TPUSPARSE_BENCH_N (default 4096), TPUSPARSE_BENCH_BLOCK (128),
+TPUSPARSE_BENCH_ITERS (3), TPUSPARSE_BENCH_CPU=1 to force the CPU backend.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def grid_spd(g: int):
+    """5-point Laplacian on a g x g grid + I: the standard large-SPD
+    benchmark family (parabolic_fem-class, BASELINE.json configs[4])."""
+    import scipy.sparse as sp
+
+    n = g * g
+    main = 5.0 * np.ones(n)
+    ex = -np.ones(n - 1)
+    ex[np.arange(1, n) % g == 0] = 0.0
+    ey = -np.ones(n - g)
+    A = sp.diags([main, ex, ex, ey, ey], [0, 1, -1, g, -g], format="csc")
+    A.sort_indices()
+    from tpusparse.core import CSCMatrix
+
+    return CSCMatrix(n, n, A.indptr, A.indices, A.data), A
+
+
+def main():
+    if os.environ.get("TPUSPARSE_BENCH_CPU"):
+        os.environ.setdefault("XLA_FLAGS",
+                              "--xla_force_host_platform_device_count=8")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from tpusparse.device.chol_tpu import TpuCholesky
+    from tpusparse.device.spmv import spmv_plan
+    from tpusparse.numeric.chol import chol as host_chol
+    from tpusparse.symbolic.plan import schol as host_schol
+    from tpusparse.demo import resid_metric
+
+    g = int(os.environ.get("TPUSPARSE_BENCH_N", "4096")) ** 0.5
+    g = int(round(g))
+    B = int(os.environ.get("TPUSPARSE_BENCH_BLOCK", "128"))
+    iters = int(os.environ.get("TPUSPARSE_BENCH_ITERS", "3"))
+    # device ordering: 0 keeps the band -> dense tiles (low padding waste);
+    # the host baseline uses its own best ordering (AMD) — best vs best
+    dev_order = int(os.environ.get("TPUSPARSE_BENCH_ORDER", "0"))
+    A, S = grid_spd(g)
+    n = A.n
+    log(f"bench: grid {g}x{g} SPD, n={n}, nnz={A.nnz}, "
+        f"backend={jax.default_backend()}, devices={jax.devices()}")
+
+    # ---- host baseline (reference-equivalent f64 engine) ----------------
+    t0 = time.perf_counter()
+    Sy = host_schol(1, A)
+    t_sym = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    N = host_chol(A, Sy)
+    t_host = time.perf_counter() - t0
+    assert N is not None
+    log(f"host: symbolic {t_sym:.3f}s, numeric chol {t_host:.3f}s, "
+        f"lnz={Sy.lnz}")
+
+    # ---- device supernodal cholesky -------------------------------------
+    t0 = time.perf_counter()
+    F = TpuCholesky(A, order=dev_order, block=B)
+    t_plan = time.perf_counter() - t0
+    plan = F.plan
+    log(f"device plan: {t_plan:.3f}s, nb={plan.nb}, tiles={plan.pool_init.shape[0]}, "
+        f"flops_true={plan.flops_true/1e9:.3f}G, "
+        f"flops_padded={plan.flops_padded/1e9:.3f}G, "
+        f"waste={plan.waste_ratio:.3f}")
+    pool0 = jnp.asarray(plan.pool_init)
+    t0 = time.perf_counter()
+    out = F._factor(pool0)
+    out.block_until_ready()
+    t_compile = time.perf_counter() - t0
+    log(f"device factor: first call (compile+run) {t_compile:.1f}s")
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = F._factor(pool0)
+        out.block_until_ready()
+        ts.append(time.perf_counter() - t0)
+    t_dev = min(ts)
+    gflops = plan.flops_true / t_dev / 1e9
+    gflops_padded = plan.flops_padded / t_dev / 1e9
+    log(f"device factor: {t_dev*1e3:.2f} ms -> {gflops:.1f} GF/s true, "
+        f"{gflops_padded:.1f} GF/s issued")
+
+    # ---- correctness: full refined solve --------------------------------
+    F.pool = out
+    b = 1.0 + np.arange(n) / n
+    x = F.solve(b)
+    r = resid_metric(A, x, b)
+    log(f"refined residual: {r:.2e}")
+
+    # ---- SpMV bandwidth --------------------------------------------------
+    sp_plan = spmv_plan(A, mode="ell")
+    xs = jnp.asarray(np.random.default_rng(0).normal(size=n), jnp.float32)
+    y = sp_plan.apply(xs)
+    np.asarray(y)                       # compile + run
+    ts = []
+    for _ in range(max(iters, 5)):
+        t0 = time.perf_counter()
+        sp_plan.apply(xs).block_until_ready()
+        ts.append(time.perf_counter() - t0)
+    t_spmv = min(ts)
+    gbs = sp_plan.bytes_min / t_spmv / 1e9
+    log(f"spmv: {t_spmv*1e6:.1f} us -> {gbs:.1f} GB/s (min-bytes), "
+        f"waste={sp_plan.waste_ratio:.3f}")
+
+    print(json.dumps({
+        "metric": "supernodal_cholesky_gflops",
+        "value": round(gflops, 2),
+        "unit": "GFLOP/s(f32,true-flops)",
+        "vs_baseline": round(t_host / t_dev, 2),
+        "n": n,
+        "nnz": A.nnz,
+        "lnz": int(Sy.lnz),
+        "t_device_s": round(t_dev, 6),
+        "t_host_f64_s": round(t_host, 4),
+        "flops_true": plan.flops_true,
+        "flops_padded": plan.flops_padded,
+        "tile_waste_ratio": round(plan.waste_ratio, 4),
+        "refined_residual": float(f"{r:.3e}"),
+        "spmv_gbs_min_bytes": round(gbs, 2),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tpusparse.core import csc_from_dense
+from tpusparse.device.chol_tpu import plan_cholesky
+from tpusparse.parallel import (ShardedSpmv, make_mesh, sharded_cg,
+                                sharded_chol_factor)
+from helpers import random_csc, random_spd, resid
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+
+
+def test_sharded_spmv(rng):
+    mesh = make_mesh(8)
+    A, S = random_csc(rng, 70, 50, density=0.2)
+    sp = ShardedSpmv(A, mesh)
+    x = rng.normal(size=50)
+    y = np.asarray(sp.apply(x))
+    assert np.allclose(y, S.toarray() @ x, atol=1e-5)
+
+
+def test_sharded_chol_factor_matches_single_chip(rng):
+    mesh = make_mesh(4)
+    n = 32
+    A, S = random_spd(rng, n, density=0.3)
+    plan = plan_cholesky(A, order=0, block=8)
+    factor = jax.jit(sharded_chol_factor(plan, mesh))
+    pool = factor(jnp.asarray(plan.pool_init))
+    # reconstruct and compare with the dense Cholesky oracle
+    B, nb = plan.B, plan.nb
+    L = np.zeros((nb * B, nb * B))
+    for k in range(nb):
+        L[k*B:(k+1)*B, k*B:(k+1)*B] = np.tril(np.asarray(pool[plan.diag_id[k]]))
+        for r, sid in zip(plan.off_rows[k], plan.off_ids[k]):
+            L[r*B:(r+1)*B, k*B:(k+1)*B] = np.asarray(pool[sid])
+    rec = (L @ L.T)[:n, :n]
+    assert np.allclose(rec, S.toarray(), atol=1e-3)
+
+
+def test_sharded_cg(rng):
+    mesh = make_mesh(8)
+    n = 64
+    A, S = random_spd(rng, n, density=0.15)
+    solve = sharded_cg(A, mesh, tol=1e-6, maxiter=500)
+    b = rng.normal(size=n)
+    x, iters, relres = solve(b)
+    assert relres < 1e-5
+    assert resid(S.toarray(), x, b) < 1e-5
+    assert iters > 0

@@ -1,0 +1,225 @@
+"""Dense blocked factorization kernels (jit, static shapes, MXU GEMMs).
+
+These are the device building blocks the sparse drivers compose
+(SURVEY.md §7.0: "panel factorize + GEMM update"):
+
+- blocked_lu: right-looking LU with partial pivoting — per panel an
+  unblocked fori_loop (argmax pivot + rank-1 update restricted to the
+  panel), then TRSM for the U block row and one trailing GEMM.  This is
+  the "partial pivoting restricted to within-panel row swaps" scheme of
+  the north star generalized: the pivot search spans ALL remaining rows
+  (full partial pivoting), only the elimination is panel-blocked.
+- blocked_qr: blocked Householder with compact-WY accumulation — per
+  panel an unblocked reflector loop, then the T recurrence and two GEMMs
+  to update the trailing matrix.  (SURVEY.md §7.1 stage 5: WY instead of
+  one-reflection-at-a-time.)
+
+All matmuls run at Precision.HIGHEST (BASELINE.md probe #2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .config import HIGHEST
+
+__all__ = ["blocked_lu", "lu_solve", "blocked_qr", "qr_apply_qt",
+           "qr_apply_q", "qr_solve_r", "qr_solve_rt"]
+
+
+# -------------------------------------------------------------------- LU
+@functools.partial(jax.jit, static_argnums=(1,))
+def blocked_lu(M, bs: int):
+    """LU with partial pivoting of square padded M (N divisible by bs).
+
+    Returns (LU, perm): LU holds unit-lower L below the diagonal and U on
+    and above it; perm is the pivot row permutation (row i of PA is row
+    perm[i] of A).
+    """
+    N = M.shape[0]
+    idx = jnp.arange(N)
+    perm = idx
+    nb = N // bs
+    for k in range(nb):
+        k0 = k * bs
+
+        def col_step(j, carry, k0=k0):
+            M, perm = carry
+            c = k0 + j
+            col = M[:, c]
+            cand = jnp.where(idx >= c, jnp.abs(col), -1.0)
+            piv = jnp.argmax(cand)
+            rowc, rowp = M[c], M[piv]
+            M = M.at[c].set(rowp).at[piv].set(rowc)
+            pc, pp = perm[c], perm[piv]
+            perm = perm.at[c].set(pp).at[piv].set(pc)
+            pivval = M[c, c]
+            safe = jnp.where(pivval == 0, 1.0, pivval)
+            scale = jnp.where(idx > c, M[:, c] / safe, M[:, c])
+            M = M.at[:, c].set(scale)
+            l = jnp.where(idx > c, scale, 0.0)
+            panel = M[:, k0:k0 + bs]                    # static slice
+            urow = panel[c]                             # row c of panel
+            colmask = jnp.arange(bs) > j
+            upd = jnp.outer(l, jnp.where(colmask, urow, 0.0))
+            M = M.at[:, k0:k0 + bs].add(-upd)
+            return M, perm
+
+        M, perm = lax.fori_loop(0, bs, lambda j, cy: col_step(j, cy),
+                                (M, perm))
+        if k0 + bs < N:
+            Lkk = M[k0:k0 + bs, k0:k0 + bs]
+            rest = M[k0:k0 + bs, k0 + bs:]
+            U = lax.linalg.triangular_solve(
+                Lkk, rest, left_side=True, lower=True, unit_diagonal=True)
+            M = M.at[k0:k0 + bs, k0 + bs:].set(U)
+            Lblk = M[k0 + bs:, k0:k0 + bs]
+            M = M.at[k0 + bs:, k0 + bs:].add(
+                -jnp.matmul(Lblk, U, precision=HIGHEST))
+    return M, perm
+
+
+@jax.jit
+def lu_solve(LU, perm, b):
+    """Solve A x = b given blocked_lu output."""
+    pb = b[perm]
+    y = lax.linalg.triangular_solve(LU, pb[:, None], left_side=True,
+                                    lower=True, unit_diagonal=True)[:, 0]
+    x = lax.linalg.triangular_solve(LU, y[:, None], left_side=True,
+                                    lower=False)[:, 0]
+    return x
+
+
+# -------------------------------------------------------------------- QR
+@functools.partial(jax.jit, static_argnums=(1,))
+def blocked_qr(M, bs: int):
+    """Blocked Householder QR of padded M (m x n, n divisible by bs,
+    m >= n).  Returns (VR, taus): VR holds the Householder vectors below
+    the diagonal (v0 = 1 implicit) and R on/above; taus the coefficients.
+
+    H_k = I - tau_k v_k v_k'; panels applied to the trailing matrix via
+    the compact-WY form  Q_panel = I - V T V'.
+    """
+    m, n = M.shape
+    ridx = jnp.arange(m)
+    taus = jnp.zeros(n, M.dtype)
+    nb = n // bs
+    for k in range(nb):
+        k0 = k * bs
+
+        def col_step(j, carry, k0=k0):
+            M, taus = carry
+            c = k0 + j
+            col = jnp.where(ridx >= c, M[:, c], 0.0)
+            normx = jnp.sqrt(jnp.sum(col * col))
+            x0 = M[c, c]
+            sgn = jnp.where(x0 >= 0, 1.0, -1.0)
+            alpha = -sgn * normx                       # R(c,c)
+            denom = x0 - alpha
+            safe = jnp.where(denom == 0, 1.0, denom)
+            v = jnp.where(ridx > c, col / safe, 0.0)
+            v = v.at[c].set(1.0)
+            tau = jnp.where(
+                normx == 0.0, 0.0, (alpha - x0) / jnp.where(alpha == 0,
+                                                            1.0, alpha))
+            # tau = (alpha - x0)/alpha is the LAPACK larfg coefficient
+            taus = taus.at[c].set(tau)
+            # apply H to the remaining panel columns (incl. c)
+            panel = M[:, k0:k0 + bs]
+            w = jnp.matmul(v[None, :], panel, precision=HIGHEST)[0]
+            colmask = jnp.arange(bs) >= j
+            upd = jnp.outer(tau * v, jnp.where(colmask, w, 0.0))
+            M = M.at[:, k0:k0 + bs].add(-upd)
+            # store v below the diagonal of column c
+            newcol = jnp.where(ridx > c, v, M[:, c])
+            M = M.at[:, c].set(newcol)
+            return M, taus
+
+        M, taus = lax.fori_loop(0, bs, lambda j, cy: col_step(j, cy),
+                                (M, taus))
+        if k0 + bs < n:
+            V = _panel_v(M, k0, bs, m)
+            T = _form_t(V, taus[k0:k0 + bs])
+            rest = M[:, k0 + bs:]
+            W = jnp.matmul(V.T, rest, precision=HIGHEST)      # (bs, rest)
+            # trailing <- Q_panel' @ trailing = (I - V T' V') @ trailing
+            rest = rest - jnp.matmul(
+                V, jnp.matmul(T.T, W, precision=HIGHEST), precision=HIGHEST)
+            M = M.at[:, k0 + bs:].set(rest)
+    return M, taus
+
+
+def _panel_v(M, k0: int, bs: int, m: int):
+    """Extract the (m, bs) V of panel k0 (unit diagonal, zeros above)."""
+    ridx = jnp.arange(m)[:, None]
+    cidx = k0 + jnp.arange(bs)[None, :]
+    panel = M[:, k0:k0 + bs]
+    V = jnp.where(ridx > cidx, panel, 0.0)
+    V = V + (ridx == cidx).astype(M.dtype)
+    return V
+
+
+def _form_t(V, taus):
+    """Compact-WY T: upper triangular with T[j,j] = tau_j and
+    T[:j, j] = -tau_j * T[:j,:j] @ (V[:,:j]' v_j)."""
+    bs = taus.shape[0]
+    VtV = jnp.matmul(V.T, V, precision=HIGHEST)
+
+    def step(j, T):
+        col = -taus[j] * jnp.matmul(T, VtV[:, j], precision=HIGHEST)
+        col = jnp.where(jnp.arange(bs) < j, col, 0.0)
+        col = col.at[j].set(taus[j])
+        return T.at[:, j].set(col)
+
+    return lax.fori_loop(0, bs, step, jnp.zeros((bs, bs), V.dtype))
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def qr_apply_qt(VR, taus, b, bs: int):
+    """b <- Q' b  (apply H_{n-1}...H_0 in forward panel order)."""
+    m, n = VR.shape
+    for k in range(n // bs):
+        k0 = k * bs
+        V = _panel_v(VR, k0, bs, m)
+        T = _form_t(V, taus[k0:k0 + bs])
+        w = jnp.matmul(V.T, b, precision=HIGHEST)
+        b = b - jnp.matmul(V, jnp.matmul(T.T, w, precision=HIGHEST),
+                           precision=HIGHEST)
+    return b
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def qr_apply_q(VR, taus, b, bs: int):
+    """b <- Q b  (apply H_0...H_{n-1} in reverse panel order)."""
+    m, n = VR.shape
+    for k in range(n // bs - 1, -1, -1):
+        k0 = k * bs
+        V = _panel_v(VR, k0, bs, m)
+        T = _form_t(V, taus[k0:k0 + bs])
+        w = jnp.matmul(V.T, b, precision=HIGHEST)
+        b = b - jnp.matmul(V, jnp.matmul(T, w, precision=HIGHEST),
+                           precision=HIGHEST)
+    return b
+
+
+@jax.jit
+def qr_solve_r(VR, y, n: int = None):
+    """x = R \\ y[:ncols] on the padded factor."""
+    ncols = VR.shape[1]
+    R = jnp.triu(VR[:ncols, :])
+    return lax.linalg.triangular_solve(R, y[:ncols][:, None],
+                                       left_side=True, lower=False)[:, 0]
+
+
+@jax.jit
+def qr_solve_rt(VR, y):
+    """x = R' \\ y (for the min-norm path)."""
+    ncols = VR.shape[1]
+    R = jnp.triu(VR[:ncols, :])
+    return lax.linalg.triangular_solve(R, y[:ncols][:, None],
+                                       left_side=True, lower=False,
+                                       transpose_a=True)[:, 0]

@@ -1,0 +1,5 @@
+from .mesh import make_mesh, P, NamedSharding
+from .sharded import ShardedSpmv, sharded_chol_factor, sharded_cg
+
+__all__ = ["make_mesh", "P", "NamedSharding", "ShardedSpmv",
+           "sharded_chol_factor", "sharded_cg"]

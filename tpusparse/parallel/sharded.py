@@ -1,0 +1,199 @@
+"""Multi-chip sharded kernels: SpMV, tile-pool Cholesky, and a
+distributed CG — jax.sharding/NamedSharding + shard_map over a Mesh, the
+TPU-native replacement for the reference's (nonexistent) distributed
+backend (SURVEY.md §2.4, §5).
+
+Sharding layout:
+- SpMV: ELL row slabs sharded over the mesh axis, x replicated, y
+  sharded -> all-gathered.  Row-parallel SpMV needs NO communication for
+  the multiply itself; the only collective is the output all-gather.
+- Cholesky tile pool: the (T, B, B) pool is replicated and the batched
+  TRSM/GEMM op batches are sharded over the mesh axis (each device owns
+  a slice of every update batch); XLA inserts the all-reduce-style
+  scatter-adds.  This is the "shard the trailing update GEMMs" plan of
+  SURVEY.md §7.1 stage 7.
+- CG: vectors sharded, dot products via psum over the axis (shard_map).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..core.matrix import CSCMatrix
+from ..device.config import DTYPE, HIGHEST, round_up
+from ..device.formats import to_ell
+
+__all__ = ["ShardedSpmv", "sharded_chol_factor", "sharded_cg"]
+
+
+class ShardedSpmv:
+    """Row-sharded ELL SpMV over a 1-D mesh."""
+
+    def __init__(self, A: CSCMatrix, mesh: Mesh, axis: str = "d"):
+        nd = mesh.devices.size
+        E = to_ell(A)
+        mp = round_up(max(E.m, 1), nd)
+        vals = np.zeros((mp, E.K), dtype=np.float32)
+        cols = np.zeros((mp, E.K), dtype=np.int32)
+        vals[:E.m] = E.vals
+        cols[:E.m] = E.cols
+        self.m, self.n = A.m, A.n
+        self.mesh, self.axis = mesh, axis
+        row_sh = NamedSharding(mesh, P(axis, None))
+        self.vals = jax.device_put(jnp.asarray(vals), row_sh)
+        self.cols = jax.device_put(jnp.asarray(cols), row_sh)
+        self.flops = E.flops
+        self.bytes_min = E.bytes_min
+
+        @functools.partial(jax.jit,
+                           out_shardings=NamedSharding(mesh, P(axis)))
+        def _apply(vals, cols, x):
+            return jnp.sum(vals * x[cols], axis=1)
+
+        self._apply = _apply
+
+    def apply(self, x) -> jnp.ndarray:
+        xr = jax.device_put(jnp.asarray(x, DTYPE),
+                            NamedSharding(self.mesh, P()))
+        y = self._apply(self.vals, self.cols, xr)
+        return y[:self.m]
+
+
+def sharded_chol_factor(plan, mesh: Mesh, axis: str = "d") -> Callable:
+    """Build the tile-pool Cholesky factor with the update batches
+    sharded over the mesh (see tpusparse.device.chol_tpu for the
+    single-chip version — the schedule is identical, only the batched
+    einsum inputs carry shardings so GSPMD partitions the MXU work)."""
+    nb = plan.nb
+    diag_id = [int(i) for i in plan.diag_id]
+    batch_sh = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    def pad_batch(x, nd):
+        """Pad a batch index list so it divides the mesh; padded entries
+        redo the last op into a scratch slot (slot 0 write is masked by
+        using a dedicated dump slot at the END of the pool)."""
+        if x.size == 0:
+            return x
+        pad = (-x.size) % nd
+        return np.concatenate([x, np.repeat(x[-1:], pad)])
+
+    nd = mesh.devices.size
+    off_ids, upd_dst, upd_a, upd_b, upd_w = [], [], [], [], []
+    for k in range(nb):
+        off_ids.append(jnp.asarray(plan.off_ids[k], jnp.int32))
+        d = plan.upd_dst[k]
+        a = plan.upd_a[k]
+        b = plan.upd_b[k]
+        w = np.ones(d.size, np.float32)
+        upd_dst.append(jnp.asarray(pad_batch(d, nd), jnp.int32))
+        upd_a.append(jnp.asarray(pad_batch(a, nd), jnp.int32))
+        upd_b.append(jnp.asarray(pad_batch(b, nd), jnp.int32))
+        wpad = np.zeros(upd_dst[-1].shape[0], np.float32)
+        wpad[:d.size] = w
+        upd_w.append(jnp.asarray(wpad))          # masks duplicate padding
+
+    def factor(pool):
+        for k in range(nb):
+            dk = pool[diag_id[k]]
+            Lkk = jnp.linalg.cholesky(dk)
+            pool = pool.at[diag_id[k]].set(Lkk)
+            if plan.off_ids[k].size:
+                X = pool[off_ids[k]]
+                Y = jax.lax.linalg.triangular_solve(
+                    jnp.broadcast_to(Lkk, X.shape), X,
+                    left_side=False, lower=True, transpose_a=True)
+                pool = pool.at[off_ids[k]].set(Y)
+                if plan.upd_dst[k].size:
+                    La = jax.lax.with_sharding_constraint(
+                        Y[upd_a[k]], batch_sh)
+                    Lb = jax.lax.with_sharding_constraint(
+                        Y[upd_b[k]], batch_sh)
+                    delta = jnp.einsum("uij,ukj->uik", La, Lb,
+                                       precision=HIGHEST)
+                    delta = delta * upd_w[k][:, None, None]
+                    pool = pool.at[upd_dst[k]].add(-delta)
+        return pool
+
+    return factor
+
+
+def sharded_cg(A: CSCMatrix, mesh: Mesh, axis: str = "d",
+               tol: float = 1e-6, maxiter: int = 200):
+    """Distributed conjugate gradient for SPD A: vectors sharded over the
+    mesh, reductions via jax.lax.psum inside shard_map — the collective
+    pattern (psum over ICI) the reference never needed but a multi-chip
+    solver does.
+
+    Returns solve(b) -> (x, iters, relres).
+    """
+    nd = mesh.devices.size
+    E = to_ell(A)
+    n = A.n
+    npad = round_up(max(n, 1), nd)
+    vals = np.zeros((npad, E.K), dtype=np.float32)
+    cols = np.zeros((npad, E.K), dtype=np.int32)
+    vals[:E.m] = E.vals
+    cols[:E.m] = E.cols
+    vals_d = jax.device_put(jnp.asarray(vals),
+                            NamedSharding(mesh, P(axis, None)))
+    cols_d = jax.device_put(jnp.asarray(cols),
+                            NamedSharding(mesh, P(axis, None)))
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis)),
+        out_specs=(P(axis), P(), P()),
+        check_vma=False)
+    def _cg(vals_l, cols_l, b_l):
+        # local shard of the matrix rows + local shard of b
+        def matvec(p_full):
+            return jnp.sum(vals_l * p_full[cols_l], axis=1)
+
+        def allgather(v_l):
+            return jax.lax.all_gather(v_l, axis).reshape(-1)
+
+        x_l = jnp.zeros_like(b_l)
+        r_l = b_l
+        p_l = r_l
+        rs = jax.lax.psum(jnp.vdot(r_l, r_l), axis)
+        b2 = jax.lax.psum(jnp.vdot(b_l, b_l), axis)
+
+        def body(state):
+            x_l, r_l, p_l, rs, it = state
+            p_full = allgather(p_l)
+            Ap_l = matvec(p_full)
+            pAp = jax.lax.psum(jnp.vdot(p_l, Ap_l), axis)
+            alpha = rs / pAp
+            x_l = x_l + alpha * p_l
+            r_l = r_l - alpha * Ap_l
+            rs_new = jax.lax.psum(jnp.vdot(r_l, r_l), axis)
+            p_l = r_l + (rs_new / rs) * p_l
+            return x_l, r_l, p_l, rs_new, it + 1
+
+        def cond(state):
+            _, _, _, rs, it = state
+            return jnp.logical_and(rs > tol * tol * b2, it < maxiter)
+
+        x_l, r_l, _, rs, it = jax.lax.while_loop(
+            cond, body, (x_l, r_l, p_l, rs, jnp.int32(0)))
+        relres = jnp.sqrt(rs / jnp.maximum(b2, 1e-30))
+        return x_l, it, relres
+
+    _cg_jit = jax.jit(_cg)
+
+    def solve(b):
+        bp = np.zeros(npad, dtype=np.float32)
+        bp[:n] = np.asarray(b, np.float64)
+        b_d = jax.device_put(jnp.asarray(bp), NamedSharding(mesh, P(axis)))
+        x, it, relres = _cg_jit(vals_d, cols_d, b_d)
+        return np.asarray(x, np.float64)[:n], int(it), float(relres)
+
+    return solve
