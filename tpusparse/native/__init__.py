@@ -1,0 +1,111 @@
+"""ctypes bindings for the native host planner (planner.cpp).
+
+Built lazily with g++ on first import (no pip deps, per the environment
+contract); every entry point has a pure-Python fallback in
+tpusparse.symbolic, so the framework works without a toolchain.
+Set TPUSPARSE_NO_NATIVE=1 to force the Python paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+__all__ = ["available", "etree", "post", "counts", "amd_core",
+           "rowpatterns"]
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "libtsplanner.so")
+_SRC = os.path.join(_HERE, "planner.cpp")
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-fPIC", "-shared", _SRC, "-o", _SO],
+            check=True, capture_output=True, timeout=180)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if os.environ.get("TPUSPARSE_NO_NATIVE"):
+        return None
+    if (not os.path.exists(_SO)
+            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    I = ctypes.c_int64
+    IP = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.ts_etree.argtypes = [I, I, IP, IP, ctypes.c_int, IP]
+    lib.ts_post.argtypes = [I, IP, IP]
+    lib.ts_counts.argtypes = [I, I, IP, IP, IP, IP, ctypes.c_int, IP]
+    lib.ts_amd_core.argtypes = [I, IP, IP, IP]
+    lib.ts_amd_core.restype = ctypes.c_int
+    lib.ts_rowpatterns.argtypes = [I, IP, IP, IP, IP, IP]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _c64(a):
+    return np.ascontiguousarray(a, dtype=np.int64)
+
+
+def etree(m, n, indptr, indices, ata: bool):
+    lib = _load()
+    parent = np.empty(n, dtype=np.int64)
+    lib.ts_etree(m, n, _c64(indptr), _c64(indices), int(ata), parent)
+    return parent
+
+
+def post(parent):
+    lib = _load()
+    n = len(parent)
+    order = np.empty(n, dtype=np.int64)
+    lib.ts_post(n, _c64(parent), order)
+    return order
+
+
+def counts(m, n, indptr, indices, parent, porder, ata: bool):
+    lib = _load()
+    out = np.empty(n, dtype=np.int64)
+    lib.ts_counts(m, n, _c64(indptr), _c64(indices), _c64(parent),
+                  _c64(porder), int(ata), out)
+    return out
+
+
+def amd_core(n, Cp, Ci):
+    lib = _load()
+    perm = np.empty(max(n, 1), dtype=np.int64)
+    rc = lib.ts_amd_core(n, _c64(Cp), _c64(Ci), perm)
+    if rc != 0:
+        raise RuntimeError("native AMD failed")
+    return perm[:n]
+
+
+def rowpatterns(n, indptr, indices, parent, total):
+    """All cs_ereach row patterns of L in one pass; ``total`` = nnz of the
+    strictly-lower L pattern (= sum(counts) - n)."""
+    lib = _load()
+    rowptr = np.empty(n + 1, dtype=np.int64)
+    entries = np.empty(max(int(total), 1), dtype=np.int64)
+    lib.ts_rowpatterns(n, _c64(indptr), _c64(indices), _c64(parent),
+                       rowptr, entries)
+    return rowptr, entries[:rowptr[n]]

@@ -1,0 +1,482 @@
+// Native host planner: the per-pattern symbolic hot path in C++.
+//
+// The reference (rwl/CSparse.py) is pure Python (SURVEY.md §2.4); this
+// framework keeps Python as the fallback and moves the pointer-chasing
+// symbolic planning (elimination tree, postorder, column counts, AMD) to
+// native code — these run once per sparsity pattern on host and dominate
+// planning time for large patterns. Exposed via ctypes
+// (tpusparse/native/__init__.py); every routine mirrors the tested
+// Python implementation in tpusparse/symbolic.
+//
+// Build: g++ -O3 -fPIC -shared planner.cpp -o libtsplanner.so
+// (done automatically on first import; see native/__init__.py).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <algorithm>
+
+typedef int64_t i64;
+
+extern "C" {
+
+// ---------------------------------------------------------------- etree
+// Elimination tree of A (upper used) or column etree of A'A (ata != 0).
+// Mirrors tpusparse.symbolic.etree.etree / csparse::cs_etree.
+void ts_etree(i64 m, i64 n, const i64 *Ap, const i64 *Ai, int ata,
+              i64 *parent) {
+  std::vector<i64> ancestor(n, -1), prev;
+  if (ata) prev.assign(m, -1);
+  for (i64 k = 0; k < n; k++) parent[k] = -1;
+  for (i64 k = 0; k < n; k++) {
+    for (i64 p = Ap[k]; p < Ap[k + 1]; p++) {
+      i64 i = ata ? prev[Ai[p]] : Ai[p];
+      while (i != -1 && i < k) {
+        i64 inext = ancestor[i];
+        ancestor[i] = k;
+        if (inext == -1) parent[i] = k;
+        i = inext;
+      }
+      if (ata) prev[Ai[p]] = k;
+    }
+  }
+}
+
+// ---------------------------------------------------------------- tdfs
+static i64 tdfs(i64 j, i64 k, i64 *head, i64 *next, i64 *order,
+                i64 *stack) {
+  i64 top = 0;
+  stack[0] = j;
+  while (top >= 0) {
+    i64 p = stack[top];
+    i64 i = head[p];
+    if (i == -1) {
+      top--;
+      order[k++] = p;
+    } else {
+      head[p] = next[i];
+      stack[++top] = i;
+    }
+  }
+  return k;
+}
+
+// ---------------------------------------------------------------- post
+void ts_post(i64 n, const i64 *parent, i64 *order) {
+  std::vector<i64> head(n, -1), next(n, -1), stack(n, 0);
+  for (i64 j = n - 1; j >= 0; j--) {
+    if (parent[j] == -1) continue;
+    next[j] = head[parent[j]];
+    head[parent[j]] = j;
+  }
+  i64 k = 0;
+  for (i64 j = 0; j < n; j++) {
+    if (parent[j] != -1) continue;
+    k = tdfs(j, k, head.data(), next.data(), order, stack.data());
+  }
+}
+
+// ---------------------------------------------------------------- counts
+static i64 leaf(i64 i, i64 j, i64 *first, i64 *maxfirst, i64 *prevleaf,
+                i64 *ancestor, int *jleaf) {
+  *jleaf = 0;
+  if (i <= j || first[j] <= maxfirst[i]) return -1;
+  maxfirst[i] = first[j];
+  i64 jprev = prevleaf[i];
+  prevleaf[i] = j;
+  *jleaf = (jprev == -1) ? 1 : 2;
+  if (*jleaf == 1) return i;
+  i64 q = jprev;
+  while (q != ancestor[q]) q = ancestor[q];
+  i64 s = jprev;
+  while (s != q) {
+    i64 sp = ancestor[s];
+    ancestor[s] = q;
+    s = sp;
+  }
+  return q;
+}
+
+// Column counts of chol(A) (ata=0) or chol(A'A) / R of QR (ata=1).
+// Caller passes A (m x n, CSC) — the transpose is built internally.
+void ts_counts(i64 m, i64 n, const i64 *Ap, const i64 *Ai,
+               const i64 *parent, const i64 *post, int ata, i64 *colcount) {
+  i64 nnz = Ap[n];
+  // AT = transpose of the pattern (counting sort)
+  std::vector<i64> ATp(m + 2, 0), ATi(nnz);
+  for (i64 p = 0; p < nnz; p++) ATp[Ai[p] + 2]++;
+  for (i64 i = 2; i < m + 2; i++) ATp[i] += ATp[i - 1];
+  for (i64 j = 0; j < n; j++)
+    for (i64 p = Ap[j]; p < Ap[j + 1]; p++) ATi[ATp[Ai[p] + 1]++] = j;
+  std::vector<i64> ancestor(n), maxfirst(n, -1), prevleaf(n, -1),
+      first(n, -1), delta(n, 0);
+  for (i64 k = 0; k < n; k++) {
+    i64 j = post[k];
+    delta[j] = (first[j] == -1) ? 1 : 0;
+    while (j != -1 && first[j] == -1) {
+      first[j] = k;
+      j = parent[j];
+    }
+  }
+  std::vector<i64> head, next_;
+  if (ata) {
+    std::vector<i64> invpost(n);
+    for (i64 k = 0; k < n; k++) invpost[post[k]] = k;
+    head.assign(n + 1, -1);
+    next_.assign(m, -1);
+    for (i64 i = 0; i < m; i++) {
+      i64 k = n;
+      for (i64 p = ATp[i]; p < ATp[i + 1]; p++)
+        k = std::min(k, invpost[ATi[p]]);
+      next_[i] = head[k];
+      head[k] = i;
+    }
+  }
+  for (i64 i = 0; i < n; i++) ancestor[i] = i;
+  for (i64 k = 0; k < n; k++) {
+    i64 j = post[k];
+    if (parent[j] != -1) delta[parent[j]]--;
+    i64 J = ata ? head[k] : j;
+    while (J != -1) {
+      for (i64 p = ATp[J]; p < ATp[J + 1]; p++) {
+        int jl;
+        i64 q = leaf(ATi[p], j, first.data(), maxfirst.data(),
+                     prevleaf.data(), ancestor.data(), &jl);
+        if (jl >= 1) delta[j]++;
+        if (jl == 2) delta[q]--;
+      }
+      J = ata ? next_[J] : -1;
+    }
+    if (parent[j] != -1) ancestor[j] = parent[j];
+  }
+  for (i64 j = 0; j < n; j++) colcount[j] = delta[j];
+  for (i64 j = 0; j < n; j++)
+    if (parent[j] != -1) colcount[parent[j]] += colcount[j];
+}
+
+// ---------------------------------------------------------------- amd
+// Quotient-graph AMD core; caller passes the symmetric pattern C
+// (diagonal removed) — mirrors tpusparse.symbolic.amd.amd (the published
+// Amestoy-Davis-Duff algorithm). Returns 0 on success.
+static inline i64 flip(i64 i) { return -i - 2; }
+
+static i64 wclear(i64 mark, i64 lemax, i64 *w, i64 n) {
+  if (mark < 2 || mark + lemax < 0) {
+    for (i64 k = 0; k < n; k++)
+      if (w[k] != 0) w[k] = 1;
+    mark = 2;
+  }
+  return mark;
+}
+
+int ts_amd_core(i64 n, const i64 *Cp_in, const i64 *Ci_in, i64 *perm_out) {
+  if (n == 0) return 0;
+  i64 cnz = Cp_in[n];
+  i64 t = cnz + cnz / 5 + 2 * n;
+  i64 N = n + 1;
+  std::vector<i64> Cp(N, 0), Ci(std::max<i64>(t, 1), 0);
+  for (i64 i = 0; i <= n; i++) Cp[i] = Cp_in[i];
+  for (i64 p = 0; p < cnz; p++) Ci[p] = Ci_in[p];
+  i64 nzmax = (i64)Ci.size();
+  std::vector<i64> len(N, 0), nv(N, 1), next_(N, -1), head(N, -1),
+      elen(N, 0), degree(N, 0), w(N, 1), hhead(N, -1), last(N, -1);
+  for (i64 k = 0; k < n; k++) len[k] = Cp[k + 1] - Cp[k];
+  len[n] = 0;
+  i64 dense = std::max<i64>(16, (i64)(10 * std::sqrt((double)n)));
+  dense = std::min(n - 2, dense);
+  if (dense < 0) dense = 0;
+  for (i64 i = 0; i < N; i++) degree[i] = len[i];
+  i64 mark = wclear(0, 0, w.data(), n);
+  elen[n] = -2;
+  Cp[n] = -1;
+  w[n] = 0;
+  i64 nel = 0, mindeg = 0, lemax = 0;
+  for (i64 i = 0; i < n; i++) {
+    i64 d = degree[i];
+    if (d == 0) {
+      elen[i] = -2;
+      nel++;
+      Cp[i] = -1;
+      w[i] = 0;
+    } else if (d > dense) {
+      nv[i] = 0;
+      elen[i] = -1;
+      nel++;
+      Cp[i] = flip(n);
+      nv[n]++;
+    } else {
+      if (head[d] != -1) last[head[d]] = i;
+      next_[i] = head[d];
+      head[d] = i;
+    }
+  }
+  i64 cnz_cur = cnz;
+  while (nel < n) {
+    i64 k = -1;
+    while (mindeg < n && (k = head[mindeg]) == -1) mindeg++;
+    if (k < 0) return 1;  // should not happen
+    if (next_[k] != -1) last[next_[k]] = -1;
+    head[mindeg] = next_[k];
+    i64 elenk = elen[k];
+    i64 nvk = nv[k];
+    nel += nvk;
+    // garbage collection
+    if (elenk > 0 && cnz_cur + mindeg >= nzmax) {
+      for (i64 j = 0; j < n; j++) {
+        i64 p = Cp[j];
+        if (p >= 0) {
+          Cp[j] = Ci[p];
+          Ci[p] = flip(j);
+        }
+      }
+      i64 q = 0, p = 0;
+      while (p < cnz_cur) {
+        i64 jf = flip(Ci[p++]);
+        if (jf >= 0) {
+          Ci[q] = Cp[jf];
+          Cp[jf] = q++;
+          for (i64 k3 = 0; k3 < len[jf] - 1; k3++) Ci[q++] = Ci[p++];
+        }
+      }
+      cnz_cur = q;
+    }
+    // construct new element
+    i64 dk = 0;
+    nv[k] = -nvk;
+    i64 p = Cp[k];
+    i64 pk1 = (elenk == 0) ? p : cnz_cur;
+    i64 pk2 = pk1;
+    for (i64 k1 = 1; k1 <= elenk + 1; k1++) {
+      i64 e, pj, ln;
+      if (k1 > elenk) {
+        e = k;
+        pj = p;
+        ln = len[k] - elenk;
+      } else {
+        e = Ci[p++];
+        pj = Cp[e];
+        ln = len[e];
+      }
+      for (i64 k2 = 0; k2 < ln; k2++) {
+        i64 i = Ci[pj++];
+        i64 nvi = nv[i];
+        if (nvi <= 0) continue;
+        dk += nvi;
+        nv[i] = -nvi;
+        Ci[pk2++] = i;
+        if (next_[i] != -1) last[next_[i]] = last[i];
+        if (last[i] != -1)
+          next_[last[i]] = next_[i];
+        else
+          head[degree[i]] = next_[i];
+      }
+      if (e != k) {
+        Cp[e] = flip(k);
+        w[e] = 0;
+      }
+    }
+    if (elenk != 0) cnz_cur = pk2;
+    degree[k] = dk;
+    Cp[k] = pk1;
+    len[k] = pk2 - pk1;
+    elen[k] = -2;
+    // set differences
+    mark = wclear(mark, lemax, w.data(), n);
+    for (i64 pk = pk1; pk < pk2; pk++) {
+      i64 i = Ci[pk];
+      i64 eln = elen[i];
+      if (eln <= 0) continue;
+      i64 nvi = -nv[i];
+      i64 wnvi = mark - nvi;
+      for (i64 pp = Cp[i]; pp < Cp[i] + eln; pp++) {
+        i64 e = Ci[pp];
+        if (w[e] >= mark)
+          w[e] -= nvi;
+        else if (w[e] != 0)
+          w[e] = degree[e] + wnvi;
+      }
+    }
+    // degree update
+    for (i64 pk = pk1; pk < pk2; pk++) {
+      i64 i = Ci[pk];
+      i64 p1 = Cp[i];
+      i64 p2 = p1 + elen[i] - 1;
+      i64 pn = p1;
+      i64 h = 0, d = 0;
+      for (i64 pp = p1; pp <= p2; pp++) {
+        i64 e = Ci[pp];
+        if (w[e] != 0) {
+          i64 dext = w[e] - mark;
+          if (dext > 0) {
+            d += dext;
+            Ci[pn++] = e;
+            h += e;
+          } else {
+            Cp[e] = flip(k);
+            w[e] = 0;
+          }
+        }
+      }
+      elen[i] = pn - p1 + 1;
+      i64 p3 = pn;
+      i64 p4 = p1 + len[i];
+      for (i64 pp = p2 + 1; pp < p4; pp++) {
+        i64 j = Ci[pp];
+        i64 nvj = nv[j];
+        if (nvj <= 0) continue;
+        d += nvj;
+        Ci[pn++] = j;
+        h += j;
+      }
+      if (d == 0) {
+        Cp[i] = flip(k);
+        i64 nvi = -nv[i];
+        dk -= nvi;
+        nvk += nvi;
+        nel += nvi;
+        nv[i] = 0;
+        elen[i] = -1;
+      } else {
+        degree[i] = std::min(degree[i], d);
+        Ci[pn] = Ci[p3];
+        Ci[p3] = Ci[p1];
+        Ci[p1] = k;
+        len[i] = pn - p1 + 1;
+        h = ((h % n) + n) % n;
+        next_[i] = hhead[h];
+        hhead[h] = i;
+        last[i] = h;
+      }
+    }
+    degree[k] = dk;
+    lemax = std::max(lemax, dk);
+    mark = wclear(mark + lemax, lemax, w.data(), n);
+    // supernode detection
+    for (i64 pk = pk1; pk < pk2; pk++) {
+      i64 i = Ci[pk];
+      if (nv[i] >= 0) continue;
+      i64 h = last[i];
+      i = hhead[h];
+      hhead[h] = -1;
+      while (i != -1 && next_[i] != -1) {
+        i64 ln = len[i];
+        i64 eln = elen[i];
+        for (i64 pp = Cp[i] + 1; pp < Cp[i] + ln; pp++) w[Ci[pp]] = mark;
+        i64 jlast = i;
+        i64 j = next_[i];
+        while (j != -1) {
+          int ok = (len[j] == ln) && (elen[j] == eln);
+          if (ok) {
+            for (i64 pp = Cp[j] + 1; pp < Cp[j] + ln; pp++) {
+              if (w[Ci[pp]] != mark) {
+                ok = 0;
+                break;
+              }
+            }
+          }
+          if (ok) {
+            Cp[j] = flip(i);
+            nv[i] += nv[j];
+            nv[j] = 0;
+            elen[j] = -1;
+            j = next_[j];
+            next_[jlast] = j;
+          } else {
+            jlast = j;
+            j = next_[j];
+          }
+        }
+        i = next_[i];
+        mark++;
+      }
+    }
+    // finalize element k
+    p = pk1;
+    for (i64 pk = pk1; pk < pk2; pk++) {
+      i64 i = Ci[pk];
+      i64 nvi = -nv[i];
+      if (nvi <= 0) continue;
+      nv[i] = nvi;
+      i64 d = degree[i] + dk - nvi;
+      d = std::min(d, n - nel - nvi);
+      if (head[d] != -1) last[head[d]] = i;
+      next_[i] = head[d];
+      last[i] = -1;
+      head[d] = i;
+      mindeg = std::min(mindeg, d);
+      degree[i] = d;
+      Ci[p++] = i;
+    }
+    nv[k] = nvk;
+    len[k] = p - pk1;
+    if (len[k] == 0) {
+      Cp[k] = -1;
+      w[k] = 0;
+    }
+    if (elenk != 0) cnz_cur = p;
+  }
+  // postorder the assembly tree
+  for (i64 i = 0; i < N; i++) Cp[i] = flip(Cp[i]);
+  for (i64 j = 0; j < N; j++) head[j] = -1;
+  for (i64 j = n; j >= 0; j--) {
+    if (nv[j] > 0) continue;
+    next_[j] = head[Cp[j]];
+    head[Cp[j]] = j;
+  }
+  for (i64 e = n; e >= 0; e--) {
+    if (nv[e] <= 0) continue;
+    if (Cp[e] != -1) {
+      next_[e] = head[Cp[e]];
+      head[Cp[e]] = e;
+    }
+  }
+  std::vector<i64> order(N, 0), stack(N, 0);
+  i64 kk = 0;
+  for (i64 i = 0; i < N; i++) {
+    if (Cp[i] == -1)
+      kk = tdfs(i, kk, head.data(), next_.data(), order.data(),
+                stack.data());
+  }
+  i64 outp = 0;
+  for (i64 i = 0; i < N; i++) {
+    if (order[i] != n) perm_out[outp++] = order[i];
+    if (outp == n) break;
+  }
+  return 0;
+}
+
+// ------------------------------------------------------------- ereach
+// Batched symbolic Cholesky: all row patterns of L (the cs_ereach loop
+// over every k) in one native pass. Outputs CSR-ish: rowptr (n+1) then
+// pattern entries; caller sizes entries via the counts routine.
+void ts_rowpatterns(i64 n, const i64 *Ap, const i64 *Ai, const i64 *parent,
+                    i64 *rowptr, i64 *entries) {
+  std::vector<i64> s(n), w(n, 0);
+  std::vector<char> mark(n, 0);
+  i64 q = 0;
+  for (i64 k = 0; k < n; k++) {
+    rowptr[k] = q;
+    i64 top = n;
+    mark[k] = 1;
+    for (i64 p = Ap[k]; p < Ap[k + 1]; p++) {
+      i64 i = Ai[p];
+      if (i > k) continue;
+      i64 length = 0;
+      while (!mark[i]) {
+        s[length++] = i;
+        mark[i] = 1;
+        i = parent[i];
+      }
+      while (length > 0) s[--top] = s[--length];
+    }
+    for (i64 p = top; p < n; p++) {
+      entries[q++] = s[p];
+      mark[s[p]] = 0;
+    }
+    mark[k] = 0;
+  }
+  rowptr[n] = q;
+}
+
+}  // extern "C"

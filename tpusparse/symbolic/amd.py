@@ -79,6 +79,9 @@ def amd(order: int, A: CSCMatrix):
     dense = max(16, int(10 * np.sqrt(n)))
     dense = min(n - 2, dense)
     C = _build_quotient_input(order, A, dense)
+    from .. import native
+    if native.available():
+        return native.amd_core(n, C.indptr, C.indices)
     cnz = C.nnz
     t = cnz + cnz // 5 + 2 * n                     # elbow room
     # --- workspace (reference allocates 8*(n+1) ints + Ci of size t) ----

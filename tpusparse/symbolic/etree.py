@@ -28,6 +28,9 @@ def etree(A: CSCMatrix, ata: bool = False) -> np.ndarray:
     """
     m, n = A.m, A.n
     Ap, Ai = A.indptr, A.indices
+    from .. import native
+    if native.available():
+        return native.etree(m, n, Ap, Ai, ata)
     parent = np.full(n, -1, dtype=_IDX)
     ancestor = np.full(n, -1, dtype=_IDX)
     prev = np.full(m, -1, dtype=_IDX) if ata else None
@@ -77,6 +80,9 @@ def post(parent: np.ndarray) -> np.ndarray:
     """
     parent = np.asarray(parent, dtype=_IDX)
     n = parent.size
+    from .. import native
+    if native.available():
+        return native.post(parent)
     head = np.full(n, -1, dtype=_IDX)
     nxt = np.full(n, -1, dtype=_IDX)
     stack = np.zeros(n, dtype=_IDX)
@@ -130,6 +136,9 @@ def counts(A: CSCMatrix, parent, porder, ata: bool = False) -> np.ndarray:
     parent = np.asarray(parent, dtype=_IDX)
     porder = np.asarray(porder, dtype=_IDX)
     m, n = A.m, A.n
+    from .. import native
+    if native.available():
+        return native.counts(m, n, A.indptr, A.indices, parent, porder, ata)
     AT = transpose(A, values=False)
     ATp, ATi = AT.indptr, AT.indices
     ancestor = np.full(n, -1, dtype=_IDX)
