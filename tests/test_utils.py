@@ -1,0 +1,94 @@
+"""Checkpoint/resume, metrics, and settings subsystems (SURVEY.md §5)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpusparse.core import csc_from_dense
+from tpusparse.numeric import chol, lsolve, ltsolve, lu, qr
+from tpusparse.symbolic import schol, sqr
+from tpusparse.utils import (Metrics, Settings, Timer, flop_report,
+                             load_chol_factor, load_numeric, load_symbolic,
+                             save_chol_factor, save_numeric, save_symbolic,
+                             settings_from_env)
+from helpers import random_csc, random_spd, resid
+
+
+def test_symbolic_roundtrip(tmp_path, rng):
+    A, _ = random_spd(rng, 15, density=0.3)
+    S = schol(1, A)
+    p = str(tmp_path / "sym.npz")
+    save_symbolic(p, S)
+    S2 = load_symbolic(p)
+    assert np.array_equal(S.pinv, S2.pinv)
+    assert np.array_equal(S.parent, S2.parent)
+    assert np.array_equal(S.cp, S2.cp)
+    assert S.lnz == S2.lnz
+
+
+def test_numeric_roundtrip_factor_once_solve_later(tmp_path, rng):
+    A, Ssp = random_spd(rng, 15, density=0.3)
+    S = schol(1, A)
+    N = chol(A, S)
+    p = str(tmp_path / "num.npz")
+    save_numeric(p, N)
+    N2 = load_numeric(p)
+    # resume: solve with the restored factor only
+    from tpusparse.core import ipvec, pvec
+    b = rng.normal(size=15)
+    x = ipvec(S.pinv, b)
+    x = lsolve(N2.L, x)
+    x = ltsolve(N2.L, x)
+    x = pvec(S.pinv, x)
+    assert resid(Ssp.toarray(), x, b) < 1e-13
+
+
+def test_qr_numeric_roundtrip(tmp_path, rng):
+    A, _ = random_csc(rng, 14, 9, density=0.4)
+    Sy = sqr(0, A, qr=True)
+    N = qr(A, Sy)
+    p = str(tmp_path / "qr.npz")
+    save_numeric(p, N)
+    N2 = load_numeric(p)
+    assert np.allclose(N2.U.todense(), N.U.todense())
+    assert np.allclose(N2.B, N.B)
+
+
+def test_device_chol_checkpoint(tmp_path, rng):
+    from tpusparse.device import TpuCholesky
+    A, Ssp = random_spd(rng, 24, density=0.3)
+    F = TpuCholesky(A, order=1, block=8)
+    assert F.factor()
+    p = str(tmp_path / "dev.npz")
+    save_chol_factor(p, F)
+    F2 = load_chol_factor(p, A)
+    b = rng.normal(size=24)
+    x = F2.solve(b)
+    assert resid(Ssp.toarray(), x, b) < 1e-13
+
+
+def test_timer_metrics():
+    t = Timer()
+    with t.section("a"):
+        pass
+    assert "a" in t.report()
+    m = Metrics().record(foo=1)
+    assert '"foo": 1' in m.json()
+
+
+def test_settings_env(monkeypatch):
+    monkeypatch.setenv("TPUSPARSE_ORDER", "3")
+    monkeypatch.setenv("TPUSPARSE_BLOCK", "64")
+    s = settings_from_env()
+    assert s.order == 3 and s.block == 64
+    assert Settings().order == 1
+
+
+def test_flop_report(rng):
+    from tpusparse.device.chol_tpu import plan_cholesky
+    A, _ = random_spd(rng, 32, density=0.2)
+    plan = plan_cholesky(A, order=1, block=8)
+    rep = flop_report(plan, 0.001)
+    assert rep["gflops_true"] > 0
+    assert rep["gflops_issued"] >= rep["gflops_true"]

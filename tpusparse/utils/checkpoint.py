@@ -1,0 +1,142 @@
+"""Checkpoint / resume: serialize symbolic plans and numeric factors.
+
+The reference has no checkpointing (SURVEY.md §5); its closest analog is
+that css/csn objects ARE reusable artifacts (factor once, solve many).
+Here those artifacts — the host Symbolic plan, host Numeric factors, the
+device CholPlan and factored tile pool — are plain arrays, so they
+round-trip through one .npz file and a factorization can be resumed in a
+fresh process without re-running symbolic analysis or numeric factors.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import numpy as np
+
+from ..core.matrix import CSCMatrix
+from ..numeric.chol import Numeric
+from ..symbolic.plan import Symbolic
+
+__all__ = ["save_symbolic", "load_symbolic", "save_numeric", "load_numeric",
+           "save_chol_factor", "load_chol_factor"]
+
+_OPT_FIELDS = ("pinv", "q", "parent", "cp", "leftmost")
+
+
+def _csc_to_dict(prefix: str, A: Optional[CSCMatrix]) -> dict:
+    if A is None:
+        return {}
+    d = {f"{prefix}_indptr": A.indptr, f"{prefix}_indices": A.indices,
+         f"{prefix}_shape": np.array([A.m, A.n])}
+    if A.data is not None:
+        d[f"{prefix}_data"] = A.data
+    return d
+
+
+def _csc_from_dict(prefix: str, z) -> Optional[CSCMatrix]:
+    if f"{prefix}_indptr" not in z:
+        return None
+    m, n = z[f"{prefix}_shape"]
+    return CSCMatrix(int(m), int(n), z[f"{prefix}_indptr"],
+                     z[f"{prefix}_indices"],
+                     z[f"{prefix}_data"] if f"{prefix}_data" in z else None)
+
+
+def save_symbolic(path: str, S: Symbolic) -> None:
+    d = {"m2": np.array([S.m2]), "lnz": np.array([S.lnz]),
+         "unz": np.array([S.unz])}
+    for f in _OPT_FIELDS:
+        v = getattr(S, f)
+        if v is not None:
+            d[f] = np.asarray(v)
+    np.savez_compressed(path, **d)
+
+
+def load_symbolic(path: str) -> Symbolic:
+    z = np.load(path)
+    S = Symbolic(m2=int(z["m2"][0]), lnz=int(z["lnz"][0]),
+                 unz=int(z["unz"][0]))
+    for f in _OPT_FIELDS:
+        if f in z:
+            setattr(S, f, z[f])
+    return S
+
+
+def save_numeric(path: str, N: Numeric) -> None:
+    d = {}
+    d.update(_csc_to_dict("L", N.L))
+    d.update(_csc_to_dict("U", N.U))
+    if N.pinv is not None:
+        d["pinv"] = np.asarray(N.pinv)
+    if N.B is not None:
+        d["B"] = np.asarray(N.B)
+    np.savez_compressed(path, **d)
+
+
+def load_numeric(path: str) -> Numeric:
+    z = np.load(path)
+    return Numeric(L=_csc_from_dict("L", z), U=_csc_from_dict("U", z),
+                   pinv=z["pinv"] if "pinv" in z else None,
+                   B=z["B"] if "B" in z else None)
+
+
+def save_chol_factor(path: str, F) -> None:
+    """Persist a factored TpuCholesky: plan arrays + device tile pool."""
+    plan = F.plan
+    if F.pool is None:
+        raise ValueError("factor() first")
+    d = {
+        "n": np.array([plan.n]), "B": np.array([plan.B]),
+        "nb": np.array([plan.nb]),
+        "diag_id": plan.diag_id,
+        "pool": np.asarray(F.pool),
+        "flops_true": np.array([plan.flops_true]),
+        "flops_padded": np.array([plan.flops_padded]),
+        "lnz": np.array([plan.lnz]),
+        "meta": np.frombuffer(json.dumps({
+            "off_rows": [x.tolist() for x in plan.off_rows],
+            "off_ids": [x.tolist() for x in plan.off_ids],
+            "upd_dst": [x.tolist() for x in plan.upd_dst],
+            "upd_a": [x.tolist() for x in plan.upd_a],
+            "upd_b": [x.tolist() for x in plan.upd_b],
+        }).encode(), dtype=np.uint8),
+    }
+    if plan.perm is not None:
+        d["perm"] = plan.perm
+        d["pinv"] = plan.pinv
+    np.savez_compressed(path, **d)
+
+
+def load_chol_factor(path: str, A: CSCMatrix):
+    """Restore a factored TpuCholesky bound to matrix A (for refinement)."""
+    import jax.numpy as jnp
+
+    from ..device.chol_tpu import CholPlan, TpuCholesky, _solve_fn
+
+    z = np.load(path)
+    meta = json.loads(bytes(z["meta"]).decode())
+    plan = CholPlan(
+        n=int(z["n"][0]), B=int(z["B"][0]), nb=int(z["nb"][0]),
+        perm=z["perm"] if "perm" in z else None,
+        pinv=z["pinv"] if "pinv" in z else None,
+        diag_id=z["diag_id"],
+        off_ids=[np.asarray(x, np.int64) for x in meta["off_ids"]],
+        off_rows=[np.asarray(x, np.int64) for x in meta["off_rows"]],
+        upd_dst=[np.asarray(x, np.int64) for x in meta["upd_dst"]],
+        upd_a=[np.asarray(x, np.int64) for x in meta["upd_a"]],
+        upd_b=[np.asarray(x, np.int64) for x in meta["upd_b"]],
+        pool_init=np.zeros((1, 1, 1), np.float32),
+        flops_true=int(z["flops_true"][0]),
+        flops_padded=int(z["flops_padded"][0]),
+        lnz=int(z["lnz"][0]))
+    F = TpuCholesky.__new__(TpuCholesky)
+    F.A = A
+    F.plan = plan
+    import jax
+
+    F._factor = None                      # already factored
+    F._solve = jax.jit(_solve_fn(plan))
+    F.pool = jnp.asarray(z["pool"])
+    return F
