@@ -46,6 +46,27 @@ def grid_spd(g: int):
     return CSCMatrix(n, n, A.indptr, A.indices, A.data), A
 
 
+def grid_spd_3d(g: int):
+    """7-point Laplacian on a g^3 grid + I: natural-order band ~ g^2,
+    which makes the tiled panels genuinely MXU-sized."""
+    import scipy.sparse as sp
+
+    n = g * g * g
+    main = 7.0 * np.ones(n)
+    ex = -np.ones(n - 1)
+    ex[np.arange(1, n) % g == 0] = 0.0
+    ey = -np.ones(n - g)
+    mask = (np.arange(g, n) // g) % g == 0
+    ey[mask] = 0.0
+    ez = -np.ones(n - g * g)
+    A = sp.diags([main, ex, ex, ey, ey, ez, ez],
+                 [0, 1, -1, g, -g, g * g, -g * g], format="csc")
+    A.sort_indices()
+    from tpusparse.core import CSCMatrix
+
+    return CSCMatrix(n, n, A.indptr, A.indices, A.data), A
+
+
 def main():
     if os.environ.get("TPUSPARSE_BENCH_CPU"):
         os.environ.setdefault("XLA_FLAGS",
@@ -62,14 +83,20 @@ def main():
     from tpusparse.symbolic.plan import schol as host_schol
     from tpusparse.demo import resid_metric
 
-    g = int(os.environ.get("TPUSPARSE_BENCH_N", "4096")) ** 0.5
-    g = int(round(g))
+    dims = os.environ.get("TPUSPARSE_BENCH_GRID", "3d")
+    target_n = int(os.environ.get("TPUSPARSE_BENCH_N",
+                                  "13824" if dims == "3d" else "4096"))
     B = int(os.environ.get("TPUSPARSE_BENCH_BLOCK", "128"))
     iters = int(os.environ.get("TPUSPARSE_BENCH_ITERS", "3"))
     # device ordering: 0 keeps the band -> dense tiles (low padding waste);
     # the host baseline uses its own best ordering (AMD) — best vs best
     dev_order = int(os.environ.get("TPUSPARSE_BENCH_ORDER", "0"))
-    A, S = grid_spd(g)
+    if dims == "3d":
+        g = int(round(target_n ** (1.0 / 3.0)))
+        A, S = grid_spd_3d(g)
+    else:
+        g = int(round(target_n ** 0.5))
+        A, S = grid_spd(g)
     n = A.n
     log(f"bench: grid {g}x{g} SPD, n={n}, nnz={A.nnz}, "
         f"backend={jax.default_backend()}, devices={jax.devices()}")
@@ -104,7 +131,7 @@ def main():
     # with a carry dependency so iterations can't be elided
     from tpusparse.device.chol_tpu import _factor_fn as _mk_factor
     raw_factor = _mk_factor(plan)
-    REPS = max(iters, 8)
+    REPS = max(3, min(8, 512 // max(plan.nb, 1)))
 
     @jax.jit
     def factor_loop(pool_init):
@@ -136,8 +163,13 @@ def main():
     log(f"refined residual: {r:.2e}")
 
     # ---- SpMV bandwidth --------------------------------------------------
-    sp_plan = spmv_plan(A, mode="ell")
-    xs = jnp.asarray(np.random.default_rng(0).normal(size=n), jnp.float32)
+    spmv_n = int(os.environ.get("TPUSPARSE_BENCH_SPMV_N", "262144"))
+    gs = int(round(spmv_n ** 0.5))
+    A_sp, _ = grid_spd(gs)              # bandwidth-bound working set
+    log(f"spmv problem: n={A_sp.n}, nnz={A_sp.nnz}")
+    sp_plan = spmv_plan(A_sp, mode="ell")
+    xs = jnp.asarray(np.random.default_rng(0).normal(size=A_sp.n),
+                     jnp.float32)
     np.asarray(sp_plan.apply(xs))       # compile + run
     vals_d, cols_d = sp_plan._bufs
     SREPS = 50

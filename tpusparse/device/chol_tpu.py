@@ -284,3 +284,84 @@ class TpuCholesky:
         if self.pool is None and not self.factor():
             raise ValueError("matrix is not positive definite")
         return refine(self.A, self._solve_f32, b, iters=refine_iters)
+
+    # ------------------------------------------------------------ updown
+    def _extract_L(self):
+        """Reconstruct the factor as host CSC (permuted coordinates,
+        diagonal-first columns, INCLUDING stored padding zeros so the
+        tile pattern round-trips) plus the entry -> tile-slot map."""
+        plan = self.plan
+        nb, B, n = plan.nb, plan.B, plan.n
+        pool = np.asarray(self.pool, dtype=np.float64)
+        cols_entries = [[] for _ in range(n)]     # (row, val, slot, r, c)
+        for k in range(nb):
+            dt = pool[plan.diag_id[k]]
+            base = k * B
+            for c in range(min(B, n - base)):
+                j = base + c
+                for r in range(c, min(B, n - base)):
+                    cols_entries[j].append(
+                        (base + r, dt[r, c], int(plan.diag_id[k]), r, c))
+            for I, sid in zip(plan.off_rows[k], plan.off_ids[k]):
+                ot = pool[sid]
+                rbase = int(I) * B
+                for c in range(min(B, n - base)):
+                    j = base + c
+                    for r in range(min(B, n - rbase)):
+                        cols_entries[j].append(
+                            (rbase + r, ot[r, c], int(sid), r, c))
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        rows, vals, slots = [], [], []
+        for j in range(n):
+            ent = sorted(cols_entries[j])          # diag first (row order)
+            indptr[j + 1] = indptr[j] + len(ent)
+            for row, v, sid, r, c in ent:
+                rows.append(row)
+                vals.append(v)
+                slots.append((sid, r, c))
+        L = CSCMatrix(n, n, indptr, np.asarray(rows, np.int64),
+                      np.asarray(vals))
+        return L, slots
+
+    def updown(self, sigma: int, w: np.ndarray) -> bool:
+        """Rank-1 update/downdate of the FACTORED pool in place:
+        A <- A + sigma*w*w' and L updated along the etree path
+        (reference: csparse::cs_updown; SURVEY.md §2.2).
+
+        w is in ORIGINAL coordinates; its pattern must be contained in an
+        existing column pattern of L (the reference demo3 contract).
+        Runs the scalar recurrence on host against the downloaded tiles,
+        then re-uploads — a device-resident scan version is a planned
+        optimization.
+        """
+        from ..core.matrix import csc_from_dense
+        from ..core.ops import add
+        from ..numeric.chol import updown as host_updown
+        if self.pool is None:
+            raise ValueError("factor() first")
+        plan = self.plan
+        n = plan.n
+        w = np.asarray(w, dtype=np.float64)
+        wp = w[plan.perm] if plan.perm is not None else w.copy()
+        L, slots = self._extract_L()
+        # etree of the stored pattern: parent = first subdiagonal entry
+        parent = np.full(n, -1, dtype=np.int64)
+        for j in range(n):
+            seg = L.indices[L.indptr[j]:L.indptr[j + 1]]
+            below = seg[seg > j]
+            if below.size:
+                parent[j] = below.min()
+        ok = host_updown(L, sigma, csc_from_dense(wp.reshape(-1, 1)),
+                         parent)
+        if not ok:
+            return False
+        pool = np.asarray(self.pool).copy()
+        for p, (sid, r, c) in enumerate(slots):
+            pool[sid, r, c] = L.data[p]
+        import jax.numpy as jnp
+        self.pool = jnp.asarray(pool)
+        W = csc_from_dense(w.reshape(-1, 1))
+        from ..core.ops import multiply, transpose
+        ww = multiply(W, transpose(W))
+        self.A = add(self.A, ww, 1.0, float(sigma))
+        return True
