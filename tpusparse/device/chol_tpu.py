@@ -170,6 +170,135 @@ def plan_cholesky(A: CSCMatrix, order: int = 1,
 
 
 # ---------------------------------------------------------------- device
+def _pad_schedule(plan: CholPlan):
+    """Uniform per-panel schedule arrays for the scan-based kernels.
+
+    Padded slots point at a DUMP tile appended to the pool: padded TRSM
+    results and padded GEMM updates land there and are never read back
+    (the dump is not a diagonal tile, so the NaN failure check ignores
+    it).  This turns the variable per-panel op lists into fixed (nb, R)
+    and (nb, U) arrays that one lax.scan body can consume.
+    """
+    nb = plan.nb
+    T = plan.pool_init.shape[0]                   # dump slot id
+    R = max((x.size for x in plan.off_ids), default=0)
+    U = max((x.size for x in plan.upd_dst), default=0)
+    R = max(R, 1)
+    U = max(U, 1)
+    off_ids = np.full((nb, R), T, dtype=np.int32)
+    off_rows = np.zeros((nb, R), dtype=np.int32)  # gather-only; 0 is safe
+    off_mask = np.zeros((nb, R), dtype=np.float32)
+    upd_dst = np.full((nb, U), T, dtype=np.int32)
+    upd_a = np.zeros((nb, U), dtype=np.int32)
+    upd_b = np.zeros((nb, U), dtype=np.int32)
+    for k in range(nb):
+        r = plan.off_ids[k].size
+        off_ids[k, :r] = plan.off_ids[k]
+        off_rows[k, :r] = plan.off_rows[k]
+        off_mask[k, :r] = 1.0
+        u = plan.upd_dst[k].size
+        upd_dst[k, :u] = plan.upd_dst[k]
+        upd_a[k, :u] = plan.upd_a[k]
+        upd_b[k, :u] = plan.upd_b[k]
+    return dict(diag_id=np.asarray(plan.diag_id, np.int32),
+                off_ids=off_ids, off_rows=off_rows, off_mask=off_mask,
+                upd_dst=upd_dst, upd_a=upd_a, upd_b=upd_b, dump=T)
+
+
+def _factor_fn_scan(plan: CholPlan):
+    """Scan-based factorization: one compiled panel body, O(1) program
+    size in nb (vs the unrolled _factor_fn) — essential on backends with
+    expensive compilation (BASELINE.md: ~90 s per jit on axon)."""
+    import jax
+
+    sched = _pad_schedule(plan)
+    diag_id = jnp.asarray(sched["diag_id"])
+    off_ids = jnp.asarray(sched["off_ids"])
+    upd_dst = jnp.asarray(sched["upd_dst"])
+    upd_a = jnp.asarray(sched["upd_a"])
+    upd_b = jnp.asarray(sched["upd_b"])
+
+    def factor(pool):
+        # append the dump tile
+        pool = jnp.concatenate(
+            [pool, jnp.zeros((1,) + pool.shape[1:], pool.dtype)], axis=0)
+
+        def body(pool, xs):
+            dk, oids, ud, ua, ub = xs
+            Lkk = jnp.linalg.cholesky(pool[dk])
+            pool = pool.at[dk].set(Lkk)
+            X = pool[oids]                               # (R, B, B)
+            Y = jax.lax.linalg.triangular_solve(
+                jnp.broadcast_to(Lkk, X.shape), X,
+                left_side=False, lower=True, transpose_a=True)
+            pool = pool.at[oids].set(Y)
+            La = Y[ua]
+            Lb = Y[ub]
+            delta = jnp.einsum("uij,ukj->uik", La, Lb, precision=HIGHEST)
+            pool = pool.at[ud].add(-delta)
+            return pool, None
+
+        pool, _ = jax.lax.scan(
+            body, pool, (diag_id, off_ids, upd_dst, upd_a, upd_b))
+        return pool[:-1]
+
+    return factor
+
+
+def _solve_fn_scan(plan: CholPlan):
+    """Scan-based forward/backward block substitution (see _solve_fn)."""
+    import jax
+
+    sched = _pad_schedule(plan)
+    nbB = plan.nb
+    diag_id = jnp.asarray(sched["diag_id"])
+    off_ids = jnp.asarray(sched["off_ids"])
+    off_rows = jnp.asarray(sched["off_rows"])
+    off_mask = jnp.asarray(sched["off_mask"])
+
+    def solve(pool, bt):
+        # dump row for masked scatter targets
+        bt = jnp.concatenate([bt, jnp.zeros((1, bt.shape[1]), bt.dtype)],
+                             axis=0)
+
+        def fwd(bt, xs):
+            k, dk, oids, orows, omask = xs
+            Lkk = pool[dk]
+            xk = jax.lax.linalg.triangular_solve(
+                Lkk, bt[k][:, None], left_side=True, lower=True)[:, 0]
+            bt = bt.at[k].set(xk)
+            blocks = pool[oids]
+            delta = jnp.einsum("rij,j->ri", blocks, xk, precision=HIGHEST)
+            delta = delta * omask[:, None]
+            tgt = jnp.where(omask > 0, orows, nbB)       # masked -> dump
+            bt = bt.at[tgt].add(-delta)
+            return bt, None
+
+        ks = jnp.arange(plan.nb, dtype=jnp.int32)
+        bt, _ = jax.lax.scan(fwd, bt,
+                             (ks, diag_id, off_ids, off_rows, off_mask))
+
+        def bwd(bt, xs):
+            k, dk, oids, orows, omask = xs
+            blocks = pool[oids]
+            xs_rows = bt[orows] * omask[:, None]
+            acc = bt[k] - jnp.einsum("rij,ri->j", blocks, xs_rows,
+                                     precision=HIGHEST)
+            Lkk = pool[dk]
+            xk = jax.lax.linalg.triangular_solve(
+                Lkk, acc[:, None], left_side=True, lower=True,
+                transpose_a=True)[:, 0]
+            bt = bt.at[k].set(xk)
+            return bt, None
+
+        bt, _ = jax.lax.scan(bwd, bt,
+                             (ks, diag_id, off_ids, off_rows, off_mask),
+                             reverse=True)
+        return bt[:-1]
+
+    return solve
+
+
 def _factor_fn(plan: CholPlan):
     """Build the jittable factorization: pool -> L pool."""
     nb = plan.nb
@@ -248,12 +377,23 @@ class TpuCholesky:
         x = F.solve(b)                    # device solves + f64 refinement
     """
 
+    # above this many panels, use the lax.scan kernels: O(1) program size
+    # instead of O(nb) unrolled panels (axon compiles cost ~90 s per jit)
+    SCAN_THRESHOLD = 24
+
     def __init__(self, A: CSCMatrix, order: int = 1,
-                 block: Optional[int] = None):
+                 block: Optional[int] = None, use_scan: Optional[bool] = None):
         self.A = A
         self.plan = plan_cholesky(A, order=order, block=block)
-        self._factor = jax.jit(_factor_fn(self.plan))
-        self._solve = jax.jit(_solve_fn(self.plan))
+        if use_scan is None:
+            use_scan = self.plan.nb >= self.SCAN_THRESHOLD
+        self.use_scan = use_scan
+        if use_scan:
+            self._factor = jax.jit(_factor_fn_scan(self.plan))
+            self._solve = jax.jit(_solve_fn_scan(self.plan))
+        else:
+            self._factor = jax.jit(_factor_fn(self.plan))
+            self._solve = jax.jit(_solve_fn(self.plan))
         self.pool = None
 
     def factor(self) -> bool:
