@@ -129,8 +129,9 @@ def main():
     log(f"device factor: first call (compile+run) {t_compile:.1f}s")
     # amortize the per-dispatch floor (axon relay ~30 ms): loop inside jit
     # with a carry dependency so iterations can't be elided
-    from tpusparse.device.chol_tpu import _factor_fn as _mk_factor
-    raw_factor = _mk_factor(plan)
+    from tpusparse.device.chol_tpu import _factor_fn, _factor_fn_scan
+    raw_factor = (_factor_fn_scan(plan) if F.use_scan
+                  else _factor_fn(plan))
     REPS = max(3, min(8, 512 // max(plan.nb, 1)))
 
     @jax.jit

@@ -45,27 +45,47 @@ _IDX = np.int64
 
 
 # ---------------------------------------------------------------- planning
-def _block_fill(n: int, B: int, indptr, indices) -> List[set]:
-    """Block-level Cholesky fill on the tile quotient graph: colpat[J] =
-    tile rows I >= J of L's block column J, computed by the standard
-    parent-merge symbolic factorization (block analog of
-    cs_etree/cs_counts)."""
+def _scalar_row_patterns(Cu: CSCMatrix, parent, cnt):
+    """Row patterns of L (strictly-lower) — the cs_ereach loop over every
+    row, native when built (tpusparse.native.rowpatterns)."""
+    n = Cu.n
+    total = int(cnt.sum()) - n
+    from .. import native
+    if native.available():
+        return native.rowpatterns(n, Cu.indptr, Cu.indices,
+                                  np.asarray(parent, _IDX), total)
+    from ..symbolic.etree import ereach
+    rowptr = np.zeros(n + 1, dtype=_IDX)
+    entries = np.zeros(max(total, 1), dtype=_IDX)
+    s = np.zeros(n, dtype=_IDX)
+    w = np.zeros(n, dtype=bool)
+    q = 0
+    for k in range(n):
+        rowptr[k] = q
+        pat = ereach(Cu, k, parent, s, w)
+        entries[q:q + pat.size] = pat
+        q += pat.size
+    rowptr[n] = q
+    return rowptr, entries[:q]
+
+
+def _tile_pattern(n: int, B: int, rowptr, entries):
+    """EXACT tile pattern of L: tiles that contain at least one scalar
+    fill entry.  (A block-quotient closure would over-approximate badly —
+    updates whose destination tile holds no scalar fill are structurally
+    zero, because a nonzero term l(i,k)*l(j,k) forces scalar fill at
+    (i,j) by the no-cancellation fill theorem — so they are SKIPPED.)"""
     nb = round_up(n, B) // B
+    tilepairs = set()
+    for k in range(n):
+        I = k // B
+        tilepairs.add((I, I))                   # diagonal (incl. L(k,k))
+        for j in entries[rowptr[k]:rowptr[k + 1]]:
+            tilepairs.add((I, int(j) // B))     # row k, col j < k
     colpat = [set() for _ in range(nb)]
-    cols = np.repeat(np.arange(n, dtype=_IDX), np.diff(indptr))
-    ti = np.asarray(indices) // B
-    tj = cols // B
-    lower = ti >= tj
-    for I, J in zip(ti[lower], tj[lower]):
-        colpat[int(J)].add(int(I))
-    for J in range(nb):
-        colpat[J].add(J)
-        above = sorted(i for i in colpat[J] if i > J)
-        if above:
-            parent = above[0]
-            colpat[parent] |= {i for i in colpat[J] if i > J and i != parent}
-            colpat[parent].add(parent)
-    return colpat
+    for I, J in tilepairs:
+        colpat[J].add(I)
+    return tilepairs, colpat
 
 
 @dataclass
@@ -98,11 +118,22 @@ def plan_cholesky(A: CSCMatrix, order: int = 1,
     scatter, op lists (runs once per pattern — SURVEY.md §7.0)."""
     n = A.n
     B = block or min(default_block(), max(8, round_up(n, 8)))
-    p = amd(order, A)
+    if order == 4:                        # RCM: band-friendly tiles
+        from ..symbolic.rcm import rcm
+        p = rcm(A)
+    else:
+        p = amd(order, A)
     piv = _pinv(p) if p is not None else None
     C = permute(A, piv, p, values=True) if p is not None else A
     nb = round_up(n, B) // B
-    colpat = _block_fill(n, B, C.indptr, C.indices)
+    # exact scalar fill -> exact tile pattern (see _tile_pattern)
+    from ..symbolic.etree import counts, etree, post
+    from ..core.ops import symperm
+    Cu = symperm(A, piv, values=False)
+    par = etree(Cu)
+    cnt = counts(Cu, par, post(par))
+    rowptr, entries = _scalar_row_patterns(Cu, par, cnt)
+    tilepairs, colpat = _tile_pattern(n, B, rowptr, entries)
     # slot assignment: diagonal tiles first, then off-diagonals per column
     diag_id = np.zeros(nb, dtype=_IDX)
     slot_of = {}
@@ -122,7 +153,8 @@ def plan_cholesky(A: CSCMatrix, order: int = 1,
             T += 1
         off_rows.append(np.asarray(rows, dtype=_IDX))
         off_ids.append(np.asarray(ids, dtype=_IDX))
-    # update ops per panel
+    # update ops per panel — only where the destination tile exists in
+    # the exact fill pattern (absent dst => structurally zero product)
     upd_dst, upd_a, upd_b = [], [], []
     for k in range(nb):
         rows = off_rows[k]
@@ -130,7 +162,10 @@ def plan_cholesky(A: CSCMatrix, order: int = 1,
         for bpos, J in enumerate(rows):
             for apos in range(bpos, len(rows)):
                 I = rows[apos]
-                dsts.append(slot_of[(int(I), int(J))])
+                key = (int(I), int(J))
+                if key not in slot_of:
+                    continue
+                dsts.append(slot_of[key])
                 aa.append(apos)
                 bb.append(bpos)
         upd_dst.append(np.asarray(dsts, dtype=_IDX))
@@ -151,12 +186,7 @@ def plan_cholesky(A: CSCMatrix, order: int = 1,
     for d in range(n, nb * B):           # padded diagonal
         k = d // B
         pool[diag_id[k], d - k * B, d - k * B] = 1.0
-    # flop accounting
-    from ..symbolic.etree import counts, etree, post
-    from ..core.ops import symperm
-    Cu = symperm(A, piv, values=False)
-    par = etree(Cu)
-    cnt = counts(Cu, par, post(par))
+    # flop accounting (cnt computed above)
     lnz = int(cnt.sum())
     flops_true = int(np.sum(cnt.astype(np.float64) ** 2))
     fp = 0
