@@ -58,7 +58,7 @@ def _bell_kernel(tile_cols_ref, vals_ref, x_ref, o_ref, *, K: int, bm: int,
                              preferred_element_type=jnp.float32)
 
     acc = jax.lax.fori_loop(0, K, body, jnp.zeros((bm,), jnp.float32))
-    o_ref[0, :] = acc
+    o_ref[i, :] = acc
 
 
 def _build_bell_fn(B: BellMatrix) -> Callable:
@@ -74,8 +74,9 @@ def _build_bell_fn(B: BellMatrix) -> Callable:
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # x: full (nbc, bk)
         ],
-        out_specs=pl.BlockSpec((1, bm), lambda i, *_: (i, 0),
-                               memory_space=pltpu.VMEM),
+        # full-array output: Mosaic requires block rows divisible by 8,
+        # so the kernel writes row i of the (nbr, bm) output directly
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
     call = pl.pallas_call(
         kernel,
