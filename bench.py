@@ -77,6 +77,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    try:  # persistent compile cache (first axon compile is ~15 min)
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
     from tpusparse.device.chol_tpu import TpuCholesky
     from tpusparse.device.spmv import spmv_plan
     from tpusparse.numeric.chol import chol as host_chol
@@ -168,17 +177,20 @@ def main():
     gs = int(round(spmv_n ** 0.5))
     A_sp, _ = grid_spd(gs)              # bandwidth-bound working set
     log(f"spmv problem: n={A_sp.n}, nnz={A_sp.nnz}")
-    sp_plan = spmv_plan(A_sp, mode="ell")
+    sp_plan = spmv_plan(A_sp, mode=os.environ.get("TPUSPARSE_BENCH_SPMV",
+                                                  "auto"))
+    log(f"spmv mode: {sp_plan.mode}, waste={sp_plan.waste_ratio:.3f}")
     xs = jnp.asarray(np.random.default_rng(0).normal(size=A_sp.n),
                      jnp.float32)
     np.asarray(sp_plan.apply(xs))       # compile + run
-    vals_d, cols_d = sp_plan._bufs
+    bufs = sp_plan._bufs
+    apply_fn = sp_plan._apply
     SREPS = 50
 
     @jax.jit
     def spmv_loop(x):
         def body(i, x):
-            y = jnp.sum(vals_d * x[cols_d], axis=1)
+            y = apply_fn(*bufs, x)[:A_sp.n]
             return 0.125 * y            # keep magnitudes bounded
 
         return jax.lax.fori_loop(0, SREPS, body, x)

@@ -47,3 +47,44 @@ def test_auto_mode_picks_something(rng):
     assert plan.mode in ("ell", "bell")
     x = rng.normal(size=64)
     assert np.allclose(np.asarray(plan.apply(x)), S.toarray() @ x, atol=1e-4)
+
+
+def test_dia_spmv_matches_host(rng):
+    import scipy.sparse as sp
+    from tpusparse.core import CSCMatrix
+    n = 100
+    S = sp.diags([np.full(n, 4.0), -np.ones(n - 1), -np.ones(n - 1),
+                  -np.ones(n - 7)], [0, 1, -1, 7], format="csc")
+    S.sort_indices()
+    A = CSCMatrix(n, n, S.indptr, S.indices, S.data)
+    plan = spmv_plan(A, mode="dia")
+    assert plan.mode == "dia"
+    x = rng.normal(size=n)
+    assert np.allclose(np.asarray(plan.apply(x)), S.toarray() @ x,
+                       atol=1e-5)
+
+
+def test_dia_rectangular(rng):
+    import scipy.sparse as sp
+    from tpusparse.core import CSCMatrix
+    S = sp.diags([np.ones(8), 2 * np.ones(8)], [0, 3],
+                 shape=(8, 11), format="csc")
+    S.sort_indices()
+    A = CSCMatrix(8, 11, S.indptr, S.indices, S.data)
+    plan = spmv_plan(A, mode="dia")
+    x = rng.normal(size=11)
+    assert np.allclose(np.asarray(plan.apply(x)), S.toarray() @ x,
+                       atol=1e-5)
+
+
+def test_auto_picks_dia_for_stencil(rng):
+    import scipy.sparse as sp
+    from tpusparse.core import CSCMatrix
+    n = 64
+    S = sp.diags([np.full(n, 5.0), -np.ones(n - 1), -np.ones(n - 1),
+                  -np.ones(n - 8), -np.ones(n - 8)], [0, 1, -1, 8, -8],
+                 format="csc")
+    S.sort_indices()
+    A = CSCMatrix(n, n, S.indptr, S.indices, S.data)
+    plan = spmv_plan(A, mode="auto")
+    assert plan.mode == "dia"

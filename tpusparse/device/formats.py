@@ -23,7 +23,8 @@ import numpy as np
 from ..core.matrix import CSCMatrix
 from ..core.ops import transpose
 
-__all__ = ["EllMatrix", "BellMatrix", "to_ell", "to_bell"]
+__all__ = ["EllMatrix", "BellMatrix", "DiaMatrix", "to_ell", "to_bell",
+           "to_dia", "dia_offsets"]
 
 
 @dataclass
@@ -72,6 +73,58 @@ class BellMatrix:
     def waste_ratio(self) -> float:
         """Fraction of tile slots holding padding zeros."""
         return 1.0 - self.nnz / max(self.vals.size, 1)
+
+
+@dataclass
+class DiaMatrix:
+    """Diagonal (DIA) storage: bands[d, i] = A[i, i + offsets[d]].
+
+    The gather-free TPU SpMV format: y = sum_d bands[d] * shift(x, off_d)
+    — pure VPU fma over contiguous slices, the STREAM-friendly path for
+    stencil/banded matrices (targets the >=80%-of-HBM north star, which
+    random-gather formats cannot reach on TPU)."""
+    m: int
+    n: int
+    nnz: int
+    offsets: np.ndarray            # (ndiag,) int64, sorted
+    bands: np.ndarray              # (ndiag, m) f32
+
+    @property
+    def bytes_min(self) -> int:    # CSR-equivalent minimum traffic
+        return self.nnz * 8 + self.m * 4 + (self.m + self.n) * 4
+
+    @property
+    def bytes_padded(self) -> int:
+        return self.bands.size * 4 + (self.m + self.n) * 4
+
+    @property
+    def flops(self) -> int:
+        return 2 * self.nnz
+
+    @property
+    def waste_ratio(self) -> float:
+        return 1.0 - self.nnz / max(self.bands.size, 1)
+
+
+def dia_offsets(A: CSCMatrix) -> np.ndarray:
+    """Distinct diagonals (j - i) present in A."""
+    cols = np.repeat(np.arange(A.n, dtype=np.int64), np.diff(A.indptr))
+    return np.unique(cols - A.indices)
+
+
+def to_dia(A: CSCMatrix) -> DiaMatrix:
+    """CSC -> DIA (host, once per pattern)."""
+    if A.data is None:
+        raise ValueError("numeric matrix required")
+    cols = np.repeat(np.arange(A.n, dtype=np.int64), np.diff(A.indptr))
+    offs = cols - A.indices
+    uniq = np.unique(offs)
+    dmap = {int(o): d for d, o in enumerate(uniq)}
+    bands = np.zeros((uniq.size, A.m), dtype=np.float32)
+    didx = np.fromiter((dmap[int(o)] for o in offs), dtype=np.int64,
+                       count=A.nnz)
+    np.add.at(bands, (didx, A.indices), A.data)
+    return DiaMatrix(m=A.m, n=A.n, nnz=A.nnz, offsets=uniq, bands=bands)
 
 
 def to_ell(A: CSCMatrix, k_align: int = 1) -> EllMatrix:

@@ -70,7 +70,14 @@ class TpuLU:
         for b in range(self.nb):
             lo, hi = int(D.r[b]), int(D.r[b + 1])
             size = hi - lo
-            pad = max(round_up(size, bs), bs) if size > 1 else size
+            if size > 1:
+                # quantize pads to powers of two: bounds the number of
+                # distinct jit shapes (each compile ~90 s on axon)
+                pad = bs
+                while pad < size:
+                    pad *= 2
+            else:
+                pad = size
             self.blocks.append(_Block(lo=lo, size=size, pad=pad))
         self.ok = None
 

@@ -27,7 +27,8 @@ import numpy as np
 
 from ..core.matrix import CSCMatrix
 from .config import DTYPE, HIGHEST, pallas_interpret, round_up
-from .formats import BellMatrix, EllMatrix, to_bell, to_ell
+from .formats import (BellMatrix, DiaMatrix, EllMatrix, dia_offsets,
+                      to_bell, to_dia, to_ell)
 
 __all__ = ["SpmvPlan", "spmv_plan", "gaxpy_device"]
 
@@ -43,6 +44,26 @@ except Exception:  # pragma: no cover
 def _ell_spmv(vals, cols, x):
     """y = A @ x on the ELL slab (gather + fma, VPU/HBM bound)."""
     return jnp.sum(vals * x[cols], axis=1)
+
+
+def _build_dia_fn(D: DiaMatrix):
+    """Gather-free DIA SpMV: y = sum_d bands[d] * x[i + off_d] with the
+    shifts realized as STATIC slices of a padded x — no gathers at all,
+    so the kernel streams at HBM speed on TPU."""
+    offs = [int(o) for o in D.offsets]
+    m, n = D.m, D.n
+    lo = max(0, -min(offs)) if offs else 0
+    hi = max(0, max(offs) + m - n) if offs else 0
+
+    @jax.jit
+    def fn(bands, x):
+        xp = jnp.pad(x, (lo, hi))
+        y = jnp.zeros((m,), DTYPE)
+        for d, off in enumerate(offs):
+            y = y + bands[d] * jax.lax.dynamic_slice(xp, (lo + off,), (m,))
+        return y
+
+    return fn
 
 
 def _bell_kernel(tile_cols_ref, vals_ref, x_ref, o_ref, *, K: int, bm: int,
@@ -126,8 +147,13 @@ def spmv_plan(A: CSCMatrix, mode: str = "auto") -> SpmvPlan:
     """
     if mode == "auto":
         mode = "ell"
-        if _HAS_PALLAS and A.nnz > 0:
-            Bprobe = None
+        if A.nnz > 0:
+            # DIA when the diagonal structure is compact: gather-free
+            offs = dia_offsets(A)
+            if (offs.size <= 64
+                    and A.nnz / max(offs.size * A.m, 1) > 0.2):
+                mode = "dia"
+        if mode == "ell" and _HAS_PALLAS and A.nnz > 0:
             # quick occupancy probe on the 128x128 tiling
             nbc = round_up(A.n, 128) // 128
             cols_of = np.repeat(np.arange(A.n), np.diff(A.indptr))
@@ -136,6 +162,15 @@ def spmv_plan(A: CSCMatrix, mode: str = "auto") -> SpmvPlan:
             occ = A.nnz / max(ntiles * 128 * 128, 1)
             if occ > 0.25:
                 mode = "bell"
+    if mode == "dia":
+        D = to_dia(A)
+        fn = _build_dia_fn(D)
+        return SpmvPlan(
+            m=A.m, n=A.n, mode="dia", flops=D.flops,
+            bytes_min=D.bytes_min, bytes_padded=D.bytes_padded,
+            waste_ratio=D.waste_ratio,
+            _apply=fn, _bufs=(jnp.asarray(D.bands),),
+        )
     if mode == "bell":
         if not _HAS_PALLAS:
             raise RuntimeError("pallas unavailable for bell mode")
