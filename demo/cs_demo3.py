@@ -16,15 +16,20 @@ DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "data")
 
 
 def main():
-    paths = sys.argv[1:] or [os.path.join(DATA, "bcsstk01"),
-                             os.path.join(DATA, "bcsstk16")]
+    args = list(sys.argv[1:])
+    engine = "host"
+    if "--tpu" in args:
+        args.remove("--tpu")
+        engine = "tpu"
+    paths = args or [os.path.join(DATA, "bcsstk01"),
+                     os.path.join(DATA, "bcsstk16")]
     for path in paths:
         if not os.path.exists(path):
             continue
         print(f"\n--- Matrix: {os.path.basename(path)} ---")
         with open(path) as fh:
             prob = get_problem(fh, tol=1e-14)
-        demo3(prob)
+        demo3(prob, engine=engine)
     return 0
 
 

@@ -94,3 +94,19 @@ def test_demo1_script_runs():
         capture_output=True, text=True, check=True)
     assert "C = A*A':" in out.stdout
     assert "4-by-4" in out.stdout
+
+
+def test_demo3_tpu_engine(capsys):
+    prob = load_problem("bcsstk01")
+    resids = demo3(prob, engine="tpu")
+    assert len(resids) == 4
+    assert all(r < RESID_TOL for r in resids)
+
+
+def test_demo2_tpu_engine(capsys):
+    from tpusparse.device import solvers as dev_solvers
+    prob = load_problem("bcsstk01")
+    results = demo2(prob, engine=dev_solvers)
+    for kind, order, ok, resid in results:
+        assert ok, (kind, order)
+        assert resid < RESID_TOL, (kind, order, resid)

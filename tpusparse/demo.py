@@ -85,6 +85,59 @@ def print_resid(ok: bool, A: CSCMatrix, x, b, prefix="") -> Optional[float]:
     return r
 
 
+def _demo3_tpu(prob: Problem) -> list:
+    """demo3 on the device engine."""
+    import numpy as _np
+
+    from .device.chol_tpu import TpuCholesky
+
+    C = prob.C
+    n = C.n
+    results = []
+    b = rhs(n)
+    F = TpuCholesky(C, order=1)
+    assert F.factor(), "matrix not positive definite"
+    x = F.solve(b)
+    r0 = resid_metric(C, x, b)
+    print(f"original (tpu):           resid: {r0:8.2e}")
+    results.append(r0)
+    rng = _np.random.default_rng(1)
+    L, _ = F._extract_L()
+    k = n // 2
+    seg = L.indices[L.indptr[k]:L.indptr[k + 1]]
+    wperm = _np.zeros(n)
+    wperm[seg] = rng.random(seg.size)
+    w = _np.zeros(n)
+    if F.plan.perm is not None:
+        w[F.plan.perm] = wperm
+    else:
+        w = wperm
+    d0 = C
+    tic()
+    assert F.updown(+1, w)
+    t1 = toc()
+    x = F.solve(b)
+    r1 = resid_metric(F.A, x, b)
+    print(f"update (tpu):   time: {t1:8.2f} resid: {r1:8.2e}")
+    results.append(r1)
+    tic()
+    F2 = TpuCholesky(F.A, order=1)
+    ok = F2.factor()
+    t2 = toc()
+    x2 = F2.solve(b)
+    r2 = resid_metric(F.A, x2, b)
+    print(f"rechol (tpu):   time: {t2:8.2f} resid: {r2:8.2e}")
+    results.append(r2)
+    tic()
+    assert F.updown(-1, w)
+    t3 = toc()
+    x = F.solve(b)
+    r3 = resid_metric(C, x, b)
+    print(f"downdate (tpu): time: {t3:8.2f} resid: {r3:8.2e}")
+    results.append(r3)
+    return results
+
+
 _TIC = [0.0]
 
 
@@ -163,16 +216,21 @@ def demo2(prob: Problem, engine=None) -> bool:
     return results
 
 
-def demo3(prob: Problem) -> list:
+def demo3(prob: Problem, engine: str = "host") -> list:
     """The reference's demo3: Cholesky factor update/downdate
     (SURVEY.md §2.3).  Solve, rank-1 update with a w drawn from an
     existing column pattern of L, re-solve, compare against a fresh
-    factorization of A + w*w', then downdate back."""
+    factorization of A + w*w', then downdate back.
+
+    engine='tpu' runs the same flow on the device factor
+    (TpuCholesky.factor/solve/updown)."""
     A, C, sym = prob.A, prob.C, prob.sym
     n = A.n
     if A.m != n or not sym:
         print("demo3 requires a symmetric problem")
         return []
+    if engine == "tpu":
+        return _demo3_tpu(prob)
     results = []
     b = rhs(n)
     S = schol(1, C)
