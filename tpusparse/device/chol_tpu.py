@@ -235,24 +235,27 @@ def _pad_schedule(plan: CholPlan):
                 upd_dst=upd_dst, upd_a=upd_a, upd_b=upd_b, dump=T)
 
 
-def _factor_fn_scan(plan: CholPlan):
-    """Scan-based factorization: one compiled panel body, O(1) program
-    size in nb (vs the unrolled _factor_fn) — essential on backends with
-    expensive compilation (BASELINE.md: ~90 s per jit on axon)."""
-    import jax
+_SCAN_CACHE: dict = {}
 
-    sched = _pad_schedule(plan)
-    diag_id = jnp.asarray(sched["diag_id"])
-    off_ids = jnp.asarray(sched["off_ids"])
-    upd_dst = jnp.asarray(sched["upd_dst"])
-    upd_a = jnp.asarray(sched["upd_a"])
-    upd_b = jnp.asarray(sched["upd_b"])
 
-    def factor(pool):
-        # append the dump tile
-        pool = jnp.concatenate(
-            [pool, jnp.zeros((1,) + pool.shape[1:], pool.dtype)], axis=0)
+def _pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
 
+
+def _scan_factor_generic():
+    """The shape-generic scan factorization: the schedule arrives as
+    RUNTIME arrays, so one compiled program serves every matrix whose
+    bucketed shape signature (T, B, nb, R, U) matches — each distinct
+    compile costs ~90 s on axon, so reuse is the lever.
+
+    Convention: pool carries two extra trailing tiles appended by the
+    caller — pool[T] = dump (padding scatter target), pool[T+1] =
+    identity (diag of padded no-op panels, cholesky(I) = I)."""
+
+    def factor(pool, diag_id, off_ids, upd_dst, upd_a, upd_b):
         def body(pool, xs):
             dk, oids, ud, ua, ub = xs
             Lkk = jnp.linalg.cholesky(pool[dk])
@@ -270,27 +273,58 @@ def _factor_fn_scan(plan: CholPlan):
 
         pool, _ = jax.lax.scan(
             body, pool, (diag_id, off_ids, upd_dst, upd_a, upd_b))
-        return pool[:-1]
+        return pool
 
     return factor
 
 
-def _solve_fn_scan(plan: CholPlan):
-    """Scan-based forward/backward block substitution (see _solve_fn)."""
-    import jax
-
+def _factor_fn_scan(plan: CholPlan):
+    """Scan-based factorization: one compiled panel body, O(1) program
+    size in nb (vs the unrolled _factor_fn), with the schedule passed as
+    bucketed runtime arrays so compiled programs are REUSED across
+    matrices (axon: ~90 s per distinct jit)."""
     sched = _pad_schedule(plan)
-    nbB = plan.nb
-    diag_id = jnp.asarray(sched["diag_id"])
-    off_ids = jnp.asarray(sched["off_ids"])
-    off_rows = jnp.asarray(sched["off_rows"])
-    off_mask = jnp.asarray(sched["off_mask"])
+    T = plan.pool_init.shape[0]
+    nbp = _pow2(plan.nb)
+    R = _pow2(sched["off_ids"].shape[1])
+    U = _pow2(sched["upd_dst"].shape[1])
+    dump, ident = T, T + 1
+    diag_id = np.full(nbp, ident, np.int32)
+    diag_id[:plan.nb] = sched["diag_id"]
+    off_ids = np.full((nbp, R), dump, np.int32)
+    off_ids[:plan.nb, :sched["off_ids"].shape[1]] = sched["off_ids"]
+    upd_dst = np.full((nbp, U), dump, np.int32)
+    upd_dst[:plan.nb, :sched["upd_dst"].shape[1]] = sched["upd_dst"]
+    upd_a = np.zeros((nbp, U), np.int32)
+    upd_a[:plan.nb, :sched["upd_a"].shape[1]] = sched["upd_a"]
+    upd_b = np.zeros((nbp, U), np.int32)
+    upd_b[:plan.nb, :sched["upd_b"].shape[1]] = sched["upd_b"]
+    args = tuple(jnp.asarray(x) for x in
+                 (diag_id, off_ids, upd_dst, upd_a, upd_b))
+    key = "factor"
+    if key not in _SCAN_CACHE:
+        _SCAN_CACHE[key] = jax.jit(_scan_factor_generic())
+    jitted = _SCAN_CACHE[key]
+    B = plan.B
 
-    def solve(pool, bt):
-        # dump row for masked scatter targets
-        bt = jnp.concatenate([bt, jnp.zeros((1, bt.shape[1]), bt.dtype)],
-                             axis=0)
+    def factor(pool):
+        extra = jnp.concatenate(
+            [jnp.zeros((1, B, B), pool.dtype),
+             jnp.eye(B, dtype=pool.dtype)[None]], axis=0)
+        pool = jnp.concatenate([pool, extra], axis=0)
+        pool = jitted(pool, *args)
+        return pool[:-2]
 
+    return factor
+
+
+def _scan_solve_generic():
+    """Shape-generic forward/backward block substitution (see
+    _scan_factor_generic for the caching rationale).  bt carries one
+    extra dump row; padded panels point k at the dump row and diag at
+    the identity tile."""
+
+    def solve(pool, bt, ks, diag_id, off_ids, off_rows, off_mask):
         def fwd(bt, xs):
             k, dk, oids, orows, omask = xs
             Lkk = pool[dk]
@@ -300,11 +334,11 @@ def _solve_fn_scan(plan: CholPlan):
             blocks = pool[oids]
             delta = jnp.einsum("rij,j->ri", blocks, xk, precision=HIGHEST)
             delta = delta * omask[:, None]
-            tgt = jnp.where(omask > 0, orows, nbB)       # masked -> dump
+            dump_row = bt.shape[0] - 1
+            tgt = jnp.where(omask > 0, orows, dump_row)
             bt = bt.at[tgt].add(-delta)
             return bt, None
 
-        ks = jnp.arange(plan.nb, dtype=jnp.int32)
         bt, _ = jax.lax.scan(fwd, bt,
                              (ks, diag_id, off_ids, off_rows, off_mask))
 
@@ -324,7 +358,48 @@ def _solve_fn_scan(plan: CholPlan):
         bt, _ = jax.lax.scan(bwd, bt,
                              (ks, diag_id, off_ids, off_rows, off_mask),
                              reverse=True)
-        return bt[:-1]
+        return bt
+
+    return solve
+
+
+def _solve_fn_scan(plan: CholPlan):
+    """Scan-based L L' solve with bucketed runtime schedule (compiled
+    program shared across matrices with the same shape signature)."""
+    sched = _pad_schedule(plan)
+    T = plan.pool_init.shape[0]
+    nbp = _pow2(plan.nb)
+    R = _pow2(sched["off_ids"].shape[1])
+    dump, ident = T, T + 1
+    r0 = sched["off_ids"].shape[1]
+    diag_id = np.full(nbp, ident, np.int32)
+    diag_id[:plan.nb] = sched["diag_id"]
+    off_ids = np.full((nbp, R), dump, np.int32)
+    off_ids[:plan.nb, :r0] = sched["off_ids"]
+    off_rows = np.zeros((nbp, R), np.int32)
+    off_rows[:plan.nb, :r0] = sched["off_rows"]
+    off_mask = np.zeros((nbp, R), np.float32)
+    off_mask[:plan.nb, :r0] = sched["off_mask"]
+    ks = np.full(nbp, nbp, np.int32)             # padded -> dump row
+    ks[:plan.nb] = np.arange(plan.nb, dtype=np.int32)
+    args = tuple(jnp.asarray(x) for x in
+                 (ks, diag_id, off_ids, off_rows, off_mask))
+    key = "solve"
+    if key not in _SCAN_CACHE:
+        _SCAN_CACHE[key] = jax.jit(_scan_solve_generic())
+    jitted = _SCAN_CACHE[key]
+    B = plan.B
+    nb = plan.nb
+
+    def solve(pool, bt):
+        extra = jnp.concatenate(
+            [jnp.zeros((1, B, B), pool.dtype),
+             jnp.eye(B, dtype=pool.dtype)[None]], axis=0)
+        poolx = jnp.concatenate([pool, extra], axis=0)
+        # pad bt to nbp panels + 1 dump row
+        btx = jnp.zeros((nbp + 1, B), bt.dtype).at[:nb].set(bt)
+        btx = jitted(poolx, btx, *args)
+        return btx[:nb]
 
     return solve
 
