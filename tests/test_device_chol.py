@@ -67,3 +67,28 @@ def test_refinement_reaches_reference_grade(rng):
     x_ref = F.solve(b)
     assert resid(S.toarray(), x_ref, b) < 1e-14
     assert resid(S.toarray(), x_ref, b) <= resid(S.toarray(), x_raw, b)
+
+
+def test_pallas_tile_cholesky_kernel(rng):
+    import jax.numpy as jnp
+    from tpusparse.device.kernels import chol_tiles
+    for B in (8, 32):
+        X = rng.normal(size=(4, B, B)).astype(np.float32)
+        spd = np.einsum("tij,tkj->tik", X, X) + B * np.eye(
+            B, dtype=np.float32)
+        L = np.asarray(chol_tiles(jnp.asarray(spd)))
+        oracle = np.linalg.cholesky(spd.astype(np.float64))
+        assert np.abs(L - oracle).max() / np.abs(oracle).max() < 1e-5
+
+
+def test_pallas_chol_path_in_scan(rng, monkeypatch):
+    monkeypatch.setenv("TPUSPARSE_PALLAS_CHOL", "1")
+    from tpusparse.device import chol_tpu
+    chol_tpu._SCAN_CACHE.clear()
+    A, S = random_spd(rng, 80, density=0.1)
+    F = chol_tpu.TpuCholesky(A, order=1, block=8, use_scan=True)
+    assert F.factor()
+    b = rng.normal(size=80)
+    x = F.solve(b)
+    assert resid(S.toarray(), x, b) < 1e-13
+    chol_tpu._SCAN_CACHE.clear()

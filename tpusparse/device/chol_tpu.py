@@ -255,10 +255,17 @@ def _scan_factor_generic():
     caller — pool[T] = dump (padding scatter target), pool[T+1] =
     identity (diag of padded no-op panels, cholesky(I) = I)."""
 
+    import os
+    use_pallas = bool(os.environ.get("TPUSPARSE_PALLAS_CHOL"))
+
     def factor(pool, diag_id, off_ids, upd_dst, upd_a, upd_b):
         def body(pool, xs):
             dk, oids, ud, ua, ub = xs
-            Lkk = jnp.linalg.cholesky(pool[dk])
+            if use_pallas:
+                from .kernels import chol_tiles
+                Lkk = chol_tiles(pool[dk][None])[0]
+            else:
+                Lkk = jnp.linalg.cholesky(pool[dk])
             pool = pool.at[dk].set(Lkk)
             X = pool[oids]                               # (R, B, B)
             Y = jax.lax.linalg.triangular_solve(
@@ -529,6 +536,16 @@ class TpuCholesky:
         if self.pool is None and not self.factor():
             raise ValueError("matrix is not positive definite")
         return refine(self.A, self._solve_f32, b, iters=refine_iters)
+
+    def solve_many(self, B: np.ndarray, refine_iters: int = 3) -> np.ndarray:
+        """Solve A X = B for multiple right-hand sides (n, k): the
+        factor-once/solve-many pattern the css/csn artifacts exist for
+        (SURVEY.md §5 checkpoint analog)."""
+        B = np.asarray(B, dtype=np.float64)
+        if B.ndim == 1:
+            return self.solve(B, refine_iters)
+        return np.stack([self.solve(B[:, j], refine_iters)
+                         for j in range(B.shape[1])], axis=1)
 
     # ------------------------------------------------------------ updown
     def _extract_L(self):

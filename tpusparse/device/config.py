@@ -25,6 +25,19 @@ HIGHEST = lax.Precision.HIGHEST
 DTYPE = jnp.float32
 IDX_DTYPE = jnp.int32
 
+# persistent compilation cache: axon remote compiles cost 90 s - 15 min,
+# so every process shares one on-disk cache (harmless on CPU)
+try:
+    _cache_dir = os.environ.get(
+        "TPUSPARSE_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:  # pragma: no cover
+    pass
+
 
 @functools.lru_cache(maxsize=1)
 def on_tpu() -> bool:
