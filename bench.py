@@ -122,42 +122,75 @@ def main():
         f"lnz={Sy.lnz}")
 
     # ---- device supernodal cholesky -------------------------------------
+    engine = os.environ.get("TPUSPARSE_BENCH_ENGINE", "tiled")
     t0 = time.perf_counter()
-    F = TpuCholesky(A, order=dev_order, block=B)
-    t_plan = time.perf_counter() - t0
-    plan = F.plan
-    log(f"device plan: {t_plan:.3f}s, nb={plan.nb}, tiles={plan.pool_init.shape[0]}, "
-        f"flops_true={plan.flops_true/1e9:.3f}G, "
-        f"flops_padded={plan.flops_padded/1e9:.3f}G, "
-        f"waste={plan.waste_ratio:.3f}")
-    pool0 = jnp.asarray(plan.pool_init)
+    if engine == "supernodal":
+        from tpusparse.device.supernodal import (SupernodalCholesky,
+                                                 _factor_fn as _sn_factor)
+        F = SupernodalCholesky(A, order=int(os.environ.get(
+            "TPUSPARSE_BENCH_SN_ORDER", "1")))
+        plan = F.plan
+        t_plan = time.perf_counter() - t0
+        log(f"device plan[{engine}]: {t_plan:.3f}s, "
+            f"snodes={len(plan.snodes)}, buckets={len(plan.buckets)}, "
+            f"levels={plan.nlevels}, "
+            f"flops_true={plan.flops_true/1e9:.3f}G, "
+            f"flops_padded={plan.flops_padded/1e9:.3f}G, "
+            f"waste={plan.waste_ratio:.3f}")
+        pool0 = {b: jnp.asarray(v) for b, v in plan.pool_init.items()}
+        raw_factor = _sn_factor(plan)
+
+        def probe(pools):
+            return list(pools.values())[0]
+
+        nb_eff = plan.nlevels
+    else:
+        F = TpuCholesky(A, order=dev_order, block=B)
+        plan = F.plan
+        t_plan = time.perf_counter() - t0
+        log(f"device plan[tiled]: {t_plan:.3f}s, nb={plan.nb}, "
+            f"tiles={plan.pool_init.shape[0]}, "
+            f"flops_true={plan.flops_true/1e9:.3f}G, "
+            f"flops_padded={plan.flops_padded/1e9:.3f}G, "
+            f"waste={plan.waste_ratio:.3f}")
+        pool0 = jnp.asarray(plan.pool_init)
+        from tpusparse.device.chol_tpu import _factor_fn, _factor_fn_scan
+        raw_factor = (_factor_fn_scan(plan) if F.use_scan
+                      else _factor_fn(plan))
+
+        def probe(pool):
+            return pool
+
+        nb_eff = plan.nb
     t0 = time.perf_counter()
     out = F._factor(pool0)
-    out.block_until_ready()
+    jax.block_until_ready(out)
     t_compile = time.perf_counter() - t0
     log(f"device factor: first call (compile+run) {t_compile:.1f}s")
     # amortize the per-dispatch floor (axon relay ~30 ms): loop inside jit
     # with a carry dependency so iterations can't be elided
-    from tpusparse.device.chol_tpu import _factor_fn, _factor_fn_scan
-    raw_factor = (_factor_fn_scan(plan) if F.use_scan
-                  else _factor_fn(plan))
-    REPS = max(3, min(8, 512 // max(plan.nb, 1)))
+    REPS = max(3, min(8, 512 // max(nb_eff, 1)))
 
     @jax.jit
     def factor_loop(pool_init):
         def body(i, carry):
             acc, _ = carry
-            p = raw_factor(pool_init + 0.0 * acc)
-            return p[0, 0, 0], p
+            if isinstance(pool_init, dict):
+                pin = {b: v + 0.0 * acc for b, v in pool_init.items()}
+            else:
+                pin = pool_init + 0.0 * acc
+            p = raw_factor(pin)
+            return probe(p).ravel()[0], p
 
+        init_out = jax.tree.map(jnp.zeros_like, pool_init)
         return jax.lax.fori_loop(0, REPS, body,
-                                 (jnp.float32(0.0), pool_init))[1]
+                                 (jnp.float32(0.0), init_out))[1]
 
-    factor_loop(pool0).block_until_ready()      # compile
+    jax.block_until_ready(factor_loop(pool0))   # compile
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        factor_loop(pool0).block_until_ready()
+        jax.block_until_ready(factor_loop(pool0))
         ts.append(time.perf_counter() - t0)
     t_dev = min(ts) / REPS
     gflops = plan.flops_true / t_dev / 1e9
@@ -166,7 +199,10 @@ def main():
         f"{gflops_padded:.1f} GF/s issued")
 
     # ---- correctness: full refined solve --------------------------------
-    F.pool = out
+    if engine == "supernodal":
+        F.pools = out
+    else:
+        F.pool = out
     b = 1.0 + np.arange(n) / n
     x = F.solve(b)
     r = resid_metric(A, x, b)

@@ -1,0 +1,460 @@
+"""Variable-width supernodal Cholesky on TPU.
+
+The full supernodal redesign of csparse::cs_chol (SURVEY.md §7.1 stage 3,
+BASELINE.json north star: "static supernodal/elimination-tree schedule;
+numeric cs_chol becomes dense panel-factorize + GEMM-update kernels").
+
+Host planning (once per pattern):
+  1. AMD (or chosen) ordering composed with an etree POSTORDER so
+     supernode columns are contiguous;
+  2. exact scalar fill patterns (native batched ereach);
+  3. fundamental supernodes  (parent(j)=j+1 and |pat(j+1)|=|pat(j)|-1),
+     split to power-of-two widths <= 128;
+  4. panels bucketed by (padded rows R, exact width W); per-pair update
+     index maps (descendant od-rows -> ancestor panel coordinates);
+  5. a LEVEL schedule over the supernode etree: supernodes at one level
+     are independent, so each level runs as
+        scatter-add updates  (batched 2-D gathers from update matrices)
+        batched panel factor (Pallas/XLA chol of (cnt,W,W) diag blocks,
+                              batched TRSM of (cnt,R-W,W) od rows)
+        batched SYRK         ((cnt,R-W,R-W) update matrices, MXU).
+
+Numerics: f32 + Precision.HIGHEST + f64 refinement, same contracts as
+the fixed-tile engine (tpusparse.device.chol_tpu).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.matrix import CSCMatrix
+from ..core.ops import permute, symperm
+from ..core.perm import ipvec, pvec, pinv as _pinv
+from ..symbolic.amd import amd
+from ..symbolic.etree import counts, etree, post
+from .config import HIGHEST
+
+__all__ = ["SupernodalPlan", "plan_supernodal", "SupernodalCholesky"]
+
+_IDX = np.int64
+
+
+def _pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+def _split_widths(w: int, wmax: int = 128) -> List[int]:
+    """Split a supernode width into power-of-two chunks <= wmax."""
+    out = []
+    while w > 0:
+        c = min(_pow2(w) if _pow2(w) == w else _pow2(w) // 2, wmax)
+        c = min(c, w)
+        out.append(c)
+        w -= c
+    return out
+
+
+@dataclass
+class _Snode:
+    sid: int
+    c0: int                 # first column
+    w: int                  # exact width (power of two)
+    rows: np.ndarray        # od rows (below the diagonal block), sorted
+    level: int = 0
+    bucket: Tuple[int, int] = None     # (R, W)
+    slot: int = 0                      # index within its bucket array
+
+
+@dataclass
+class SupernodalPlan:
+    n: int
+    perm: Optional[np.ndarray]
+    snodes: List[_Snode]
+    col2sn: np.ndarray
+    nlevels: int
+    buckets: List[Tuple[int, int]]                  # ordered bucket keys
+    pool_init: Dict[Tuple[int, int], np.ndarray]    # bucket -> (cnt,R,W)
+    # per level: factor membership per bucket: bucket -> slot array
+    level_factor: List[Dict[Tuple[int, int], np.ndarray]]
+    # per level: update groups keyed (d_bucket, s_bucket):
+    #   (d_slots, s_slots, G1 (cnt,Rs), G0 (cnt,Ws)) index arrays, -1 pad
+    level_updates: List[Dict[Tuple, Tuple]]
+    flops_true: int
+    flops_padded: int
+    lnz: int
+
+    @property
+    def waste_ratio(self) -> float:
+        return 1.0 - self.flops_true / max(self.flops_padded, 1)
+
+
+def _column_patterns(Cu: CSCMatrix, parent, cnt):
+    """Exact strictly-lower column patterns of L from the row patterns."""
+    n = Cu.n
+    from .chol_tpu import _scalar_row_patterns
+    rowptr, entries = _scalar_row_patterns(Cu, parent, cnt)
+    # row k has cols entries[rowptr[k]:rowptr[k+1]] -> invert to columns
+    counts_lower = np.zeros(n, dtype=_IDX)
+    np.add.at(counts_lower, entries, 1)
+    colptr = np.zeros(n + 1, dtype=_IDX)
+    np.cumsum(counts_lower, out=colptr[1:])
+    colrows = np.zeros(max(int(colptr[-1]), 1), dtype=_IDX)
+    fill = colptr[:-1].copy()
+    for k in range(n):
+        for p in range(rowptr[k], rowptr[k + 1]):
+            j = entries[p]
+            colrows[fill[j]] = k
+            fill[j] += 1
+    # rows per column arrive sorted by k automatically (k ascending)
+    return colptr, colrows
+
+
+def plan_supernodal(A: CSCMatrix, order: int = 1,
+                    wmax: int = 128) -> SupernodalPlan:
+    n = A.n
+    # ordering composed with postorder so supernodes are contiguous
+    p = amd(order, A)
+    if p is None:
+        p = np.arange(n, dtype=_IDX)
+    piv = _pinv(p)
+    Cu0 = symperm(A, piv, values=False)
+    par0 = etree(Cu0)
+    po = post(par0)
+    p = p[po]
+    piv = _pinv(p)
+    Cu = symperm(A, piv, values=False)
+    parent = etree(Cu)
+    porder = post(parent)
+    cnt = counts(Cu, parent, porder)
+    colptr, colrows = _column_patterns(Cu, parent, cnt)
+
+    # --- fundamental supernodes --------------------------------------------
+    # j, j+1 merge iff parent(j) = j+1 and cnt(j+1) = cnt(j) - 1
+    starts = [0]
+    for j in range(n - 1):
+        if not (parent[j] == j + 1 and cnt[j + 1] == cnt[j] - 1):
+            starts.append(j + 1)
+    starts.append(n)
+    # --- relaxed amalgamation ------------------------------------------------
+    # greedily merge CONSECUTIVE supernodes while the merged panel stays
+    # dense enough (merging is always correct — it only adds padding
+    # zeros whose L values are structurally zero; classic relaxed
+    # supernodes a la CHOLMOD).
+    tau = 0.45
+    groups = []           # (c0, c1, od_rows ndarray, nnz_true)
+    for i in range(len(starts) - 1):
+        c0, c1 = starts[i], starts[i + 1]
+        rows_full = colrows[colptr[c0]:colptr[c0 + 1]]
+        od = rows_full[rows_full >= c1]
+        nnz_true = int(cnt[c0:c1].sum())
+        groups.append([c0, c1, np.asarray(od, _IDX), nnz_true])
+    merged = [groups[0]] if groups else []
+    for g in groups[1:]:
+        a = merged[-1]
+        w_m = g[1] - a[0]
+        if w_m <= wmax:
+            od_m = np.union1d(a[2], g[2])
+            od_m = od_m[od_m >= g[1]]
+            r_m = w_m + od_m.size
+            nnz_m = a[3] + g[3]
+            dens = nnz_m / max(r_m * w_m, 1)
+            if dens >= tau or w_m <= 8:
+                merged[-1] = [a[0], g[1], od_m, nnz_m]
+                continue
+        merged.append(g)
+    # --- split merged groups to pow2 widths <= wmax --------------------------
+    snodes: List[_Snode] = []
+    col2sn = np.zeros(n, dtype=_IDX)
+    for c0, c1, od_rows, _nnz in merged:
+        off = c0
+        for w in _split_widths(c1 - c0, wmax):
+            # chunk od rows: the group's remaining columns + group od rows
+            rest_cols = np.arange(off + w, c1, dtype=_IDX)
+            rows = np.concatenate([rest_cols, od_rows])
+            sid = len(snodes)
+            snodes.append(_Snode(sid=sid, c0=off, w=w,
+                                 rows=np.asarray(rows, _IDX)))
+            col2sn[off:off + w] = sid
+            off += w
+
+    # --- supernode etree levels ------------------------------------------
+    # parent supernode = supernode of the first od row (if any)
+    sn_parent = np.full(len(snodes), -1, dtype=_IDX)
+    for s in snodes:
+        if s.rows.size:
+            sn_parent[s.sid] = col2sn[s.rows[0]]
+    level = np.zeros(len(snodes), dtype=_IDX)
+    for sid in range(len(snodes)):              # children come first
+        pa = sn_parent[sid]
+        if pa != -1:
+            level[pa] = max(level[pa], level[sid] + 1)
+    # ... but updates can jump levels (d updates non-parent ancestors);
+    # enforce level(s) > level(d) for every update pair below
+    for s in snodes:
+        for r in s.rows:
+            t = int(col2sn[r])
+            level[t] = max(level[t], level[s.sid] + 1)
+    nlevels = int(level.max()) + 1 if snodes else 0
+    for s in snodes:
+        s.level = int(level[s.sid])
+
+    # --- buckets and slots -------------------------------------------------
+    bucket_count: Dict[Tuple[int, int], int] = defaultdict(int)
+    for s in snodes:
+        r = s.w + s.rows.size
+        R = max(-(-r // 8) * 8, 8)               # round rows up to 8
+        s.bucket = (R, s.w)
+        s.slot = bucket_count[s.bucket]
+        bucket_count[s.bucket] += 1
+    buckets = sorted(bucket_count)
+    pool_init = {b: np.zeros((bucket_count[b], b[0], b[1]), np.float32)
+                 for b in buckets}
+
+    # scatter A (lower triangle of the permuted matrix) into panels
+    C = permute(A, piv, p, values=True)
+    Cp, Ci, Cx = C.indptr, C.indices, C.data
+    # local row index within each panel: diagonal cols 0..w-1 then od rows
+    rowpos = {}                      # (sid, global row) -> panel row
+    for s in snodes:
+        for t in range(s.w):
+            rowpos[(s.sid, s.c0 + t)] = t
+        for q, r in enumerate(s.rows):
+            rowpos[(s.sid, int(r))] = s.w + q
+    for j in range(n):
+        sid = int(col2sn[j])
+        s = snodes[sid]
+        lc = j - s.c0
+        seg = slice(Cp[j], Cp[j + 1])
+        for i, x in zip(Ci[seg], Cx[seg]):
+            if i < j:
+                continue
+            pool_init[s.bucket][s.slot, rowpos[(sid, int(i))], lc] = x
+    # identity padding on unused diagonal rows (rows r..R-1 are zero rows;
+    # the W x W diagonal block is exact, so no diagonal padding needed)
+
+    # --- schedules ----------------------------------------------------------
+    level_factor: List[Dict] = [defaultdict(list) for _ in range(nlevels)]
+    for s in snodes:
+        level_factor[s.level][s.bucket].append(s.slot)
+    level_factor = [
+        {b: np.asarray(v, np.int32) for b, v in lf.items()}
+        for lf in level_factor]
+
+    # update pairs (d -> s): group od rows of d by target supernode
+    level_updates: List[Dict] = [defaultdict(lambda: ([], [], [], []))
+                                 for _ in range(nlevels)]
+    for d in snodes:
+        if d.rows.size == 0:
+            continue
+        # group consecutive od rows by target supernode
+        tgt = col2sn[d.rows]
+        for t in np.unique(tgt):
+            s = snodes[int(t)]
+            sel = np.flatnonzero(tgt == t)       # positions in d.rows
+            drows = d.rows[sel]
+            # panel coordinates in s
+            Rs, Ws = s.bucket
+            G1 = np.full(Rs, -1, np.int32)       # s-panel-row -> d od-pos
+            G0 = np.full(Ws, -1, np.int32)       # s-panel-col -> d od-pos
+            incol = drows < s.c0 + s.w
+            for pos, r in zip(sel[incol], drows[incol]):
+                lc = int(r - s.c0)
+                G0[lc] = pos
+            # target rows: ALL of d's od rows >= s.c0 (cols first, then od)
+            # rows absent from s's panel carry structurally-zero update
+            # values (relaxed-supernode padding rows) — skip them
+            ge = np.flatnonzero(d.rows >= s.c0)
+            for pos in ge:
+                r = int(d.rows[pos])
+                pr = rowpos.get((s.sid, r))
+                if pr is not None:
+                    G1[pr] = pos
+            grp = level_updates[s.level][(d.bucket, s.bucket)]
+            grp[0].append(d.slot)
+            grp[1].append(s.slot)
+            grp[2].append(G1)
+            grp[3].append(G0)
+    level_updates = [
+        {k: (np.asarray(v[0], np.int32), np.asarray(v[1], np.int32),
+             np.stack(v[2]), np.stack(v[3]))
+         for k, v in lu.items()}
+        for lu in level_updates]
+
+    # --- flop accounting ----------------------------------------------------
+    lnz = int(cnt.sum())
+    flops_true = int(np.sum(cnt.astype(np.float64) ** 2))
+    fp = 0
+    for s in snodes:
+        R, W = s.bucket
+        fp += W ** 3 // 3 + (R - W) * W * W            # chol + trsm
+        if s.rows.size:
+            fp += 2 * (R - W) ** 2 * W                 # syrk
+    for lu in level_updates:
+        for (db, sb), (dsl, ssl, G1, G0) in lu.items():
+            fp += 2 * len(dsl) * sb[0] * sb[1]         # gather+add traffic
+    return SupernodalPlan(
+        n=n, perm=p, snodes=snodes, col2sn=col2sn, nlevels=nlevels,
+        buckets=buckets, pool_init=pool_init, level_factor=level_factor,
+        level_updates=level_updates, flops_true=flops_true,
+        flops_padded=fp, lnz=lnz)
+
+
+# ------------------------------------------------------------------ device
+def _factor_fn(plan: SupernodalPlan):
+    """Jittable factor: bucket-pool pytree -> (factored pools, U mats)."""
+
+    def factor(pools):
+        pools = dict(pools)
+        Umats: Dict = {}
+        for lvl in range(plan.nlevels):
+            # 1. scatter-add updates whose TARGET is at this level
+            #    (all source supernodes live at strictly lower levels)
+            for (db, sb), (dsl, ssl, G1, G0) in \
+                    plan.level_updates[lvl].items():
+                U = Umats[db]                          # (cntd, Rq, Rq)
+                g1 = jnp.asarray(np.maximum(G1, 0).astype(np.int32))
+                g0 = jnp.asarray(np.maximum(G0, 0).astype(np.int32))
+                m1 = jnp.asarray((G1 >= 0).astype(np.float32))
+                m0 = jnp.asarray((G0 >= 0).astype(np.float32))
+                Usel = U[jnp.asarray(dsl)]             # (P, Rq, Rq)
+                # delta[p, i, j] = U[dsl[p], G1[p, i], G0[p, j]]
+                d1 = jnp.take_along_axis(Usel, g1[:, :, None], axis=1)
+                delta = jnp.take_along_axis(d1, g0[:, None, :], axis=2)
+                delta = delta * m1[:, :, None] * m0[:, None, :]
+                pools[sb] = pools[sb].at[jnp.asarray(ssl)].add(-delta)
+            # 2. batched panel factorization at this level
+            for b, slots in plan.level_factor[lvl].items():
+                R, W = b
+                sl = jnp.asarray(slots)
+                P = pools[b][sl]                       # (cnt, R, W)
+                low = jnp.tril(P[:, :W, :])            # updates land lower
+                top = low + jnp.swapaxes(jnp.tril(P[:, :W, :], -1), 1, 2)
+                Lkk = jnp.linalg.cholesky(top)
+                if R > W:
+                    below = P[:, W:, :]
+                    Y = jax.lax.linalg.triangular_solve(
+                        Lkk, below, left_side=False, lower=True,
+                        transpose_a=True)
+                    Pnew = jnp.concatenate([Lkk, Y], axis=1)
+                    # 3. multifrontal update matrices (batched SYRK, MXU)
+                    Unew = jnp.einsum("crw,cqw->crq", Y, Y,
+                                      precision=HIGHEST)
+                    if b not in Umats:
+                        cnt_b = plan.pool_init[b].shape[0]
+                        Umats[b] = jnp.zeros((cnt_b, R - W, R - W),
+                                             jnp.float32)
+                    Umats[b] = Umats[b].at[sl].set(Unew)
+                else:
+                    Pnew = Lkk
+                pools[b] = pools[b].at[sl].set(Pnew)
+        return pools
+
+    return factor
+
+
+def _solve_fn(plan: SupernodalPlan):
+    """Jittable L L' solve on factored bucket pools: padded x vector in,
+    solved x out (permuted coordinates).
+
+    Forward per level (leaves first): x_cols = Lkk^-1 x_cols, then
+    x[od rows] -= L_od @ x_cols, batched per bucket with precomputed
+    row-gather indices.  Backward in reverse.
+    """
+    n = plan.n
+    # per (level, bucket): col-index arrays (cnt, W) and od-row index
+    # arrays (cnt, R-W) into the padded x vector (pad slot = n)
+    fwd_sched = []
+    for lvl in range(plan.nlevels):
+        per_bucket = {}
+        for b, slots in plan.level_factor[lvl].items():
+            R, W = b
+            sns = [s for s in plan.snodes
+                   if s.bucket == b and s.slot in set(slots.tolist())
+                   and s.level == lvl]
+            sns.sort(key=lambda s: s.slot)
+            cols = np.stack([np.arange(s.c0, s.c0 + W) for s in sns])
+            odr = np.full((len(sns), R - W), n, np.int64)
+            for i, s in enumerate(sns):
+                odr[i, :s.rows.size] = s.rows
+            per_bucket[b] = (np.asarray([s.slot for s in sns], np.int32),
+                             cols.astype(np.int32), odr.astype(np.int32))
+        fwd_sched.append(per_bucket)
+
+    def solve(pools, xpad):                       # xpad: (n + 1,)
+        for lvl in range(plan.nlevels):
+            for b, (slots, cols, odr) in fwd_sched[lvl].items():
+                R, W = b
+                P = pools[b][jnp.asarray(slots)]
+                Lkk = P[:, :W, :]
+                xc = xpad[jnp.asarray(cols)]      # (cnt, W)
+                yc = jax.lax.linalg.triangular_solve(
+                    Lkk, xc[:, :, None], left_side=True, lower=True)[:, :, 0]
+                xpad = xpad.at[jnp.asarray(cols)].set(yc)
+                if R > W:
+                    Lod = P[:, W:, :]
+                    delta = jnp.einsum("crw,cw->cr", Lod, yc,
+                                       precision=HIGHEST)
+                    xpad = xpad.at[jnp.asarray(odr)].add(-delta)
+                    xpad = xpad.at[n].set(0.0)
+        for lvl in range(plan.nlevels - 1, -1, -1):
+            for b, (slots, cols, odr) in fwd_sched[lvl].items():
+                R, W = b
+                P = pools[b][jnp.asarray(slots)]
+                Lkk = P[:, :W, :]
+                acc = xpad[jnp.asarray(cols)]
+                if R > W:
+                    Lod = P[:, W:, :]
+                    xod = xpad[jnp.asarray(odr)]
+                    acc = acc - jnp.einsum("crw,cr->cw", Lod, xod,
+                                           precision=HIGHEST)
+                xc = jax.lax.linalg.triangular_solve(
+                    Lkk, acc[:, :, None], left_side=True, lower=True,
+                    transpose_a=True)[:, :, 0]
+                xpad = xpad.at[jnp.asarray(cols)].set(xc)
+        return xpad
+
+    return solve
+
+
+class SupernodalCholesky:
+    """Plan + factor + solve driver for the variable-panel supernodal
+    engine (same contracts as TpuCholesky)."""
+
+    def __init__(self, A: CSCMatrix, order: int = 1, wmax: int = 128):
+        self.A = A
+        self.plan = plan_supernodal(A, order=order, wmax=wmax)
+        self._factor = jax.jit(_factor_fn(self.plan))
+        self._solve = jax.jit(_solve_fn(self.plan))
+        self.pools = None
+
+    def factor(self) -> bool:
+        pools = self._factor({b: jnp.asarray(v)
+                              for b, v in self.plan.pool_init.items()})
+        ok = all(bool(jnp.all(jnp.isfinite(v))) for v in pools.values())
+        if ok:
+            self.pools = pools
+        return ok
+
+    def _solve_f32(self, b: np.ndarray) -> np.ndarray:
+        plan = self.plan
+        bp = pvec(plan.perm, np.asarray(b, np.float64))
+        xpad = np.zeros(plan.n + 1, dtype=np.float32)
+        xpad[:plan.n] = bp
+        out = self._solve(self.pools, jnp.asarray(xpad))
+        xp = np.asarray(out, np.float64)[:plan.n]
+        return ipvec(plan.perm, xp)
+
+    def solve(self, b: np.ndarray, refine_iters: int = 3) -> np.ndarray:
+        from .refine import refine
+        if self.pools is None and not self.factor():
+            raise ValueError("matrix is not positive definite")
+        return refine(self.A, self._solve_f32, b, iters=refine_iters)
