@@ -25,14 +25,22 @@ from .core import ops as _ops
 from .core import filter as _filter
 from .core import perm as _perm
 from .core import io as _io
-from .symbolic import amd as _amd_mod
-from .symbolic import dmperm as _dm
-from .symbolic import etree as _et
+# NOTE: the subpackage __init__ files re-export functions under the same
+# names as their defining modules (tpusparse.symbolic.etree is BOTH a
+# module and, as a package attribute, the etree function) — so bind the
+# callables directly from their defining modules, never the shadowed
+# module attributes.
+from .symbolic.amd import amd as _amd
+from .symbolic.dmperm import (dmperm as _dmperm, maxtrans as _maxtrans,
+                              scc as _scc)
+from .symbolic.etree import (counts as _counts, ereach as _ereach,
+                             etree as _etree, leaf as _leaf, post as _post,
+                             tdfs as _tdfs)
 from .symbolic import plan as _plan
-from .symbolic import reach as _reach_mod
-from .numeric import chol as _chol_mod
-from .numeric import lu as _lu_mod
-from .numeric import qr as _qr_mod
+from .symbolic.reach import dfs as _dfs, reach as _reach
+from .numeric.chol import chol as _chol, updown as _updown
+from .numeric.lu import lu as _lu
+from .numeric.qr import happly as _happly, house as _house, qr as _qr
 from .numeric import solvers as _solvers
 from .numeric import trisolve as _tri
 
@@ -184,52 +192,52 @@ def cs_scatter(A, j, beta, w, x, mark, C=None, nz=None):
 
 # ------------------------------------------------------------------ L2
 def cs_etree(A, ata=False):
-    return _et.etree(A, ata)
+    return _etree(A, ata)
 
 
 def cs_post(parent, n=None):
-    return _et.post(parent)
+    return _post(parent)
 
 
 def cs_tdfs(j, k, head, nxt, post, stack):
-    return _et.tdfs(j, k, head, nxt, post, stack)
+    return _tdfs(j, k, head, nxt, post, stack)
 
 
 def cs_counts(A, parent, post, ata=False):
-    return _et.counts(A, parent, post, ata)
+    return _counts(A, parent, post, ata)
 
 
 def cs_ereach(A, k, parent, s=None, w=None):
-    return _et.ereach(A, k, parent, s, w)
+    return _ereach(A, k, parent, s, w)
 
 
 def cs_leaf(i, j, first, maxfirst, prevleaf, ancestor):
-    return _et.leaf(i, j, first, maxfirst, prevleaf, ancestor)
+    return _leaf(i, j, first, maxfirst, prevleaf, ancestor)
 
 
 def cs_dfs(j, G, marked, out, pinv=None):
-    _reach_mod.dfs(j, G.indptr, G.indices, marked, pinv, out)
+    _dfs(j, G.indptr, G.indices, marked, pinv, out)
     return out
 
 
 def cs_reach(G, B, k, pinv=None):
-    return _reach_mod.reach(G, B, k, pinv)
+    return _reach(G, B, k, pinv)
 
 
 def cs_amd(order, A):
-    return _amd_mod.amd(order, A)
+    return _amd(order, A)
 
 
 def cs_maxtrans(A, seed=0):
-    return _dm.maxtrans(A, seed)
+    return _maxtrans(A, seed)
 
 
 def cs_scc(A):
-    return _dm.scc(A)
+    return _scc(A)
 
 
 def cs_dmperm(A, seed=0):
-    return _dm.dmperm(A, seed)
+    return _dmperm(A, seed)
 
 
 # ------------------------------------------------------------------ L3
@@ -238,7 +246,7 @@ def cs_schol(order, A):
 
 
 def cs_chol(A, S):
-    return _chol_mod.chol(A, S)
+    return _chol(A, S)
 
 
 def cs_sqr(order, A, qr):
@@ -246,24 +254,24 @@ def cs_sqr(order, A, qr):
 
 
 def cs_lu(A, S, tol=1.0):
-    return _lu_mod.lu(A, S, tol)
+    return _lu(A, S, tol)
 
 
 def cs_qr(A, S):
-    return _qr_mod.qr(A, S)
+    return _qr(A, S)
 
 
 def cs_house(x):
-    return _qr_mod.house(x)
+    return _house(x)
 
 
 def cs_happly(V, i, beta, x):
-    _qr_mod.happly(V, i, beta, x)
+    _happly(V, i, beta, x)
     return True
 
 
 def cs_updown(L, sigma, C, parent):
-    return _chol_mod.updown(L, sigma, C, parent)
+    return _updown(L, sigma, C, parent)
 
 
 def cs_lsolve(L, x):
