@@ -92,3 +92,31 @@ def test_pallas_chol_path_in_scan(rng, monkeypatch):
     x = F.solve(b)
     assert resid(S.toarray(), x, b) < 1e-13
     chol_tpu._SCAN_CACHE.clear()
+
+
+def test_solve_many_batched(rng):
+    n = 60
+    A, S = random_spd(rng, n, density=0.15)
+    F = TpuCholesky(A, order=1, block=8, use_scan=True)
+    assert F.factor()
+    B = rng.normal(size=(n, 5))
+    X = F.solve_many(B)
+    for j in range(5):
+        assert resid(S.toarray(), X[:, j], B[:, j]) < 1e-13
+    # unrolled path too
+    F2 = TpuCholesky(A, order=0, block=16, use_scan=False)
+    assert F2.factor()
+    X2 = F2.solve_many(B)
+    for j in range(5):
+        assert resid(S.toarray(), X2[:, j], B[:, j]) < 1e-13
+
+
+def test_cholsol_supernodal_engine(rng, monkeypatch):
+    from tpusparse.device import solvers as dev_solvers
+    monkeypatch.setenv("TPUSPARSE_CHOL_ENGINE", "supernodal")
+    n = 40
+    A, S = random_spd(rng, n, density=0.2)
+    b = rng.normal(size=n)
+    ok, x = dev_solvers.cholsol(1, A, b)
+    assert ok
+    assert resid(S.toarray(), x, b) < 1e-13

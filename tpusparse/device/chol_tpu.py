@@ -506,6 +506,7 @@ class TpuCholesky:
         else:
             self._factor = jax.jit(_factor_fn(self.plan))
             self._solve = jax.jit(_solve_fn(self.plan))
+        self._solve_vmapped = None
         self.pool = None
 
     def factor(self) -> bool:
@@ -537,15 +538,48 @@ class TpuCholesky:
             raise ValueError("matrix is not positive definite")
         return refine(self.A, self._solve_f32, b, iters=refine_iters)
 
+    def _solve_f32_many(self, Bm: np.ndarray) -> np.ndarray:
+        """Batched f32 device solve for (n, k) right-hand sides — the
+        solve scan vmapped over the RHS axis (one device dispatch)."""
+        plan = self.plan
+        nb, Bsz, n = plan.nb, plan.B, plan.n
+        k = Bm.shape[1]
+        if self._solve_vmapped is None:
+            self._solve_vmapped = jax.jit(jax.vmap(
+                (_solve_fn_scan(plan) if self.use_scan
+                 else _solve_fn(plan)), in_axes=(None, 0)))
+        Bp = (Bm[plan.perm] if plan.perm is not None else Bm)
+        bt = np.zeros((k, nb, Bsz), dtype=np.float32)
+        bt.reshape(k, -1)[:, :n] = Bp.T
+        xt = self._solve_vmapped(self.pool, jnp.asarray(bt))
+        Xp = np.asarray(xt, np.float64).reshape(k, -1)[:, :n].T
+        if plan.perm is not None:
+            out = np.zeros_like(Xp)
+            out[plan.perm] = Xp
+            return out
+        return Xp
+
     def solve_many(self, B: np.ndarray, refine_iters: int = 3) -> np.ndarray:
-        """Solve A X = B for multiple right-hand sides (n, k): the
-        factor-once/solve-many pattern the css/csn artifacts exist for
-        (SURVEY.md §5 checkpoint analog)."""
+        """Solve A X = B for multiple right-hand sides (n, k) with the
+        factor-once/solve-many pattern (SURVEY.md §5): batched device
+        solves (vmapped scan) + batched f64 refinement."""
         B = np.asarray(B, dtype=np.float64)
         if B.ndim == 1:
             return self.solve(B, refine_iters)
-        return np.stack([self.solve(B[:, j], refine_iters)
-                         for j in range(B.shape[1])], axis=1)
+        if self.pool is None and not self.factor():
+            raise ValueError("matrix is not positive definite")
+        from ..core.ops import gaxpy, norm1
+        X = self._solve_f32_many(B)
+        nrmA = norm1(self.A)
+        for _ in range(refine_iters):
+            R = np.stack([B[:, j] - gaxpy(self.A, X[:, j],
+                                          np.zeros(self.A.m))
+                          for j in range(B.shape[1])], axis=1)
+            denom = nrmA * np.abs(X).max() + np.abs(B).max()
+            if denom == 0 or np.abs(R).max() / denom < 1e-14:
+                break
+            X = X + self._solve_f32_many(R)
+        return X
 
     # ------------------------------------------------------------ updown
     def _extract_L(self):

@@ -22,11 +22,20 @@ __all__ = ["cholsol", "lusol", "qrsol"]
 
 
 def cholsol(order: int, A: CSCMatrix, b: np.ndarray):
-    """SPD solve on device (reference: cs_cholsol)."""
+    """SPD solve on device (reference: cs_cholsol).
+
+    TPUSPARSE_CHOL_ENGINE=supernodal selects the variable-panel engine
+    (tpusparse.device.supernodal); default is the fixed-tile engine.
+    """
+    import os
     if A.m != A.n or A.m != len(b):
         return False, None
     try:
-        F = TpuCholesky(A, order=order)
+        if os.environ.get("TPUSPARSE_CHOL_ENGINE") == "supernodal":
+            from .supernodal import SupernodalCholesky
+            F = SupernodalCholesky(A, order=order if order else 1)
+        else:
+            F = TpuCholesky(A, order=order)
     except Exception:
         return False, None
     if not F.factor():
