@@ -85,9 +85,12 @@ class SupernodalPlan:
     pool_init: Dict[Tuple[int, int], np.ndarray]    # bucket -> (cnt,R,W)
     # per level: factor membership per bucket: bucket -> slot array
     level_factor: List[Dict[Tuple[int, int], np.ndarray]]
-    # per level: update groups keyed (d_bucket, s_bucket):
-    #   (d_slots, s_slots, G1 (cnt,Rs), G0 (cnt,Ws)) index arrays, -1 pad
-    level_updates: List[Dict[Tuple, Tuple]]
+    # per level: FUSED update groups keyed by s_bucket only:
+    #   (s_slots (P,), flat (P,Rs,Ws) int32 indices into the U heap,
+    #    mask (P,Rs,Ws) f32) — one gather + one scatter-add per bucket
+    level_updates: List[Dict[Tuple[int, int], Tuple]]
+    heap_size: int                                   # flat U heap length
+    heap_off: Dict[Tuple[int, int], np.ndarray]      # bucket -> per-slot off
     flops_true: int
     flops_padded: int
     lnz: int
@@ -249,43 +252,59 @@ def plan_supernodal(A: CSCMatrix, order: int = 1,
         {b: np.asarray(v, np.int32) for b, v in lf.items()}
         for lf in level_factor]
 
-    # update pairs (d -> s): group od rows of d by target supernode
-    level_updates: List[Dict] = [defaultdict(lambda: ([], [], [], []))
+    # --- U heap layout: every supernode with od rows gets a static slab
+    # of (Rq*Rq) floats; update gathers address the heap FLAT, so all
+    # pairs targeting one s-bucket fuse into ONE gather + scatter-add.
+    heap_off: Dict[Tuple[int, int], np.ndarray] = {}
+    heap_size = 0
+    for b in buckets:
+        R, W = b
+        Rq = R - W
+        cnt_b = bucket_count[b]
+        offs = np.full(cnt_b, -1, np.int64)
+        if Rq > 0:
+            offs[:] = heap_size + np.arange(cnt_b) * Rq * Rq
+            heap_size += cnt_b * Rq * Rq
+        heap_off[b] = offs
+
+    # update pairs (d -> s), fused per target bucket
+    level_updates: List[Dict] = [defaultdict(lambda: ([], [], []))
                                  for _ in range(nlevels)]
     for d in snodes:
         if d.rows.size == 0:
             continue
-        # group consecutive od rows by target supernode
+        Rd, Wd = d.bucket
+        Rq_d = Rd - Wd
+        off_d = int(heap_off[d.bucket][d.slot])
         tgt = col2sn[d.rows]
         for t in np.unique(tgt):
             s = snodes[int(t)]
             sel = np.flatnonzero(tgt == t)       # positions in d.rows
             drows = d.rows[sel]
-            # panel coordinates in s
             Rs, Ws = s.bucket
-            G1 = np.full(Rs, -1, np.int32)       # s-panel-row -> d od-pos
-            G0 = np.full(Ws, -1, np.int32)       # s-panel-col -> d od-pos
+            G1 = np.full(Rs, -1, np.int64)       # s-panel-row -> d od-pos
+            G0 = np.full(Ws, -1, np.int64)       # s-panel-col -> d od-pos
             incol = drows < s.c0 + s.w
             for pos, r in zip(sel[incol], drows[incol]):
-                lc = int(r - s.c0)
-                G0[lc] = pos
-            # target rows: ALL of d's od rows >= s.c0 (cols first, then od)
-            # rows absent from s's panel carry structurally-zero update
-            # values (relaxed-supernode padding rows) — skip them
+                G0[int(r - s.c0)] = pos
+            # target rows: ALL of d's od rows >= s.c0; rows absent from
+            # s's panel carry structurally-zero values (relaxed padding)
             ge = np.flatnonzero(d.rows >= s.c0)
             for pos in ge:
-                r = int(d.rows[pos])
-                pr = rowpos.get((s.sid, r))
+                pr = rowpos.get((s.sid, int(d.rows[pos])))
                 if pr is not None:
                     G1[pr] = pos
-            grp = level_updates[s.level][(d.bucket, s.bucket)]
-            grp[0].append(d.slot)
-            grp[1].append(s.slot)
-            grp[2].append(G1)
-            grp[3].append(G0)
+            # flat heap indices: off_d + G1[i]*Rq_d + G0[j]
+            flat = off_d + G1[:, None] * Rq_d + G0[None, :]
+            mask = ((G1[:, None] >= 0) & (G0[None, :] >= 0))
+            flat = np.where(mask, flat, 0).astype(np.int64)
+            grp = level_updates[s.level][s.bucket]
+            grp[0].append(s.slot)
+            grp[1].append(flat)
+            grp[2].append(mask.astype(np.float32))
     level_updates = [
-        {k: (np.asarray(v[0], np.int32), np.asarray(v[1], np.int32),
-             np.stack(v[2]), np.stack(v[3]))
+        {k: (np.asarray(v[0], np.int32), np.stack(v[1]).astype(np.int32),
+             np.stack(v[2]))
          for k, v in lu.items()}
         for lu in level_updates]
 
@@ -299,12 +318,14 @@ def plan_supernodal(A: CSCMatrix, order: int = 1,
         if s.rows.size:
             fp += 2 * (R - W) ** 2 * W                 # syrk
     for lu in level_updates:
-        for (db, sb), (dsl, ssl, G1, G0) in lu.items():
-            fp += 2 * len(dsl) * sb[0] * sb[1]         # gather+add traffic
+        for sb, (ssl, flat, mask) in lu.items():
+            fp += 2 * len(ssl) * sb[0] * sb[1]         # gather+add traffic
+    assert heap_size < 2 ** 31, "U heap exceeds int32 addressing"
     return SupernodalPlan(
         n=n, perm=p, snodes=snodes, col2sn=col2sn, nlevels=nlevels,
         buckets=buckets, pool_init=pool_init, level_factor=level_factor,
-        level_updates=level_updates, flops_true=flops_true,
+        level_updates=level_updates, heap_size=heap_size,
+        heap_off=heap_off, flops_true=flops_true,
         flops_padded=fp, lnz=lnz)
 
 
@@ -312,24 +333,17 @@ def plan_supernodal(A: CSCMatrix, order: int = 1,
 def _factor_fn(plan: SupernodalPlan):
     """Jittable factor: bucket-pool pytree -> (factored pools, U mats)."""
 
+    heap_off = {b: jnp.asarray(np.maximum(v, 0).astype(np.int32))
+                for b, v in plan.heap_off.items()}
+
     def factor(pools):
         pools = dict(pools)
-        Umats: Dict = {}
+        heap = jnp.zeros((max(plan.heap_size, 1),), jnp.float32)
         for lvl in range(plan.nlevels):
-            # 1. scatter-add updates whose TARGET is at this level
-            #    (all source supernodes live at strictly lower levels)
-            for (db, sb), (dsl, ssl, G1, G0) in \
-                    plan.level_updates[lvl].items():
-                U = Umats[db]                          # (cntd, Rq, Rq)
-                g1 = jnp.asarray(np.maximum(G1, 0).astype(np.int32))
-                g0 = jnp.asarray(np.maximum(G0, 0).astype(np.int32))
-                m1 = jnp.asarray((G1 >= 0).astype(np.float32))
-                m0 = jnp.asarray((G0 >= 0).astype(np.float32))
-                Usel = U[jnp.asarray(dsl)]             # (P, Rq, Rq)
-                # delta[p, i, j] = U[dsl[p], G1[p, i], G0[p, j]]
-                d1 = jnp.take_along_axis(Usel, g1[:, :, None], axis=1)
-                delta = jnp.take_along_axis(d1, g0[:, None, :], axis=2)
-                delta = delta * m1[:, :, None] * m0[:, None, :]
+            # 1. FUSED updates: one flat-heap gather + one scatter-add
+            #    per target bucket (sources at strictly lower levels)
+            for sb, (ssl, flat, mask) in plan.level_updates[lvl].items():
+                delta = heap[jnp.asarray(flat)] * jnp.asarray(mask)
                 pools[sb] = pools[sb].at[jnp.asarray(ssl)].add(-delta)
             # 2. batched panel factorization at this level
             for b, slots in plan.level_factor[lvl].items():
@@ -346,13 +360,15 @@ def _factor_fn(plan: SupernodalPlan):
                         transpose_a=True)
                     Pnew = jnp.concatenate([Lkk, Y], axis=1)
                     # 3. multifrontal update matrices (batched SYRK, MXU)
+                    #    written into their static heap slabs
                     Unew = jnp.einsum("crw,cqw->crq", Y, Y,
                                       precision=HIGHEST)
-                    if b not in Umats:
-                        cnt_b = plan.pool_init[b].shape[0]
-                        Umats[b] = jnp.zeros((cnt_b, R - W, R - W),
-                                             jnp.float32)
-                    Umats[b] = Umats[b].at[sl].set(Unew)
+                    Rq = R - W
+                    offs = heap_off[b][sl]             # (cnt,)
+                    idx = (offs[:, None]
+                           + jnp.arange(Rq * Rq, dtype=jnp.int32)[None, :])
+                    heap = heap.at[idx].set(
+                        Unew.reshape(Unew.shape[0], -1))
                 else:
                     Pnew = Lkk
                 pools[b] = pools[b].at[sl].set(Pnew)
