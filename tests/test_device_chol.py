@@ -120,3 +120,28 @@ def test_cholsol_supernodal_engine(rng, monkeypatch):
     ok, x = dev_solvers.cholsol(1, A, b)
     assert ok
     assert resid(S.toarray(), x, b) < 1e-13
+
+
+def test_pallas_trsm_kernel(rng):
+    import jax.numpy as jnp
+    from tpusparse.device.kernels import trsm_tiles
+    W, R, nt = 16, 32, 3
+    L = np.tril(rng.normal(size=(W, W))).astype(np.float32)
+    np.fill_diagonal(L, rng.normal(size=W) + 4)
+    X = rng.normal(size=(nt, R, W)).astype(np.float32)
+    Y = np.asarray(trsm_tiles(jnp.asarray(L), jnp.asarray(X)))
+    oracle = X.astype(np.float64) @ np.linalg.inv(L.astype(np.float64)).T
+    assert np.abs(Y - oracle).max() / np.abs(oracle).max() < 1e-5
+
+
+def test_pallas_trsm_path_in_scan(rng, monkeypatch):
+    monkeypatch.setenv("TPUSPARSE_PALLAS_TRSM", "1")
+    monkeypatch.setenv("TPUSPARSE_PALLAS_CHOL", "1")
+    from tpusparse.device import chol_tpu
+    chol_tpu._SCAN_CACHE.clear()
+    A, S = random_spd(rng, 80, density=0.1)
+    F = chol_tpu.TpuCholesky(A, order=1, block=8, use_scan=True)
+    assert F.factor()
+    b = rng.normal(size=80)
+    assert resid(S.toarray(), F.solve(b), b) < 1e-13
+    chol_tpu._SCAN_CACHE.clear()

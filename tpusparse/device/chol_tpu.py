@@ -257,6 +257,7 @@ def _scan_factor_generic():
 
     import os
     use_pallas = bool(os.environ.get("TPUSPARSE_PALLAS_CHOL"))
+    use_pallas_trsm = bool(os.environ.get("TPUSPARSE_PALLAS_TRSM"))
 
     def factor(pool, diag_id, off_ids, upd_dst, upd_a, upd_b):
         def body(pool, xs):
@@ -268,9 +269,13 @@ def _scan_factor_generic():
                 Lkk = jnp.linalg.cholesky(pool[dk])
             pool = pool.at[dk].set(Lkk)
             X = pool[oids]                               # (R, B, B)
-            Y = jax.lax.linalg.triangular_solve(
-                jnp.broadcast_to(Lkk, X.shape), X,
-                left_side=False, lower=True, transpose_a=True)
+            if use_pallas_trsm:
+                from .kernels import trsm_tiles
+                Y = trsm_tiles(Lkk, X)
+            else:
+                Y = jax.lax.linalg.triangular_solve(
+                    jnp.broadcast_to(Lkk, X.shape), X,
+                    left_side=False, lower=True, transpose_a=True)
             pool = pool.at[oids].set(Y)
             La = Y[ua]
             Lb = Y[ub]
