@@ -7,6 +7,10 @@ height), each trailing update one BxB MXU matmul.  Replaces
 jnp.linalg.cholesky (an XLA while-loop) inside the factorization scan;
 select with TPUSPARSE_PALLAS_CHOL=1 or TpuCholesky(pallas_chol=True).
 
+The panel loop is UNROLLED in Python so every slice is static — the
+axon Mosaic toolchain does not lower dynamic_slice on values
+(NotImplementedError observed on hardware), so traced offsets are out.
+
 Non-SPD inputs produce NaNs (sqrt of negative), preserving the NaN-based
 failure contract of TpuCholesky.factor.
 """
@@ -37,41 +41,38 @@ _MINI = 8  # mini-panel width = VPU sublane height
 def _chol_tile_kernel(a_ref, o_ref, *, B: int):
     M = a_ref[0]                                   # (B, B) in VMEM
     rows = lax.broadcasted_iota(jnp.int32, (B, 1), 0)
-    cols8 = lax.broadcasted_iota(jnp.int32, (1, _MINI), 1)
 
-    def panel(kb, M):
+    for kb in range(B // _MINI):                   # static unroll
         k0 = kb * _MINI
-        strip = lax.dynamic_slice(M, (0, k0), (B, _MINI))    # (B, 8)
+        strip = M[:, k0:k0 + _MINI]                # (B, 8) static slice
 
-        # factor the 8 columns of the mini-panel (unrolled, j static)
+        # factor the 8 columns of the mini-panel (all indices static)
         for j in range(_MINI):
             c = k0 + j
-            colv = lax.dynamic_slice(strip, (0, j), (B, 1))  # (B, 1)
-            d = jnp.sqrt(lax.dynamic_slice(colv, (c, 0), (1, 1)))
+            colv = strip[:, j:j + 1]               # (B, 1)
+            d = jnp.sqrt(colv[c, 0])
             below = rows > c
             newcol = jnp.where(below, colv / d, colv)
             newcol = jnp.where(rows == c, d, newcol)
-            strip = lax.dynamic_update_slice(strip, newcol, (0, j))
             # rank-1 update of the remaining panel columns c2 > c:
-            # M[r, c2] -= l(r,c) * l(c2,c); the multiplier per column j2
-            # is the new column's value at the column's OWN row k0+j2
-            w8 = lax.dynamic_slice(newcol, (k0, 0), (_MINI, 1))
-            w8 = jnp.transpose(w8)                           # (1, 8)
+            # multiplier per column j2 is newcol[k0 + j2]
+            w8 = newcol[k0:k0 + _MINI, 0][None, :]           # (1, 8)
             umask = (jnp.arange(_MINI) > j)[None, :]
-            upd = jnp.where(below, newcol, 0.0) * jnp.where(umask, w8, 0.0)
-            strip = strip - upd
+            upd = jnp.where(below, newcol, 0.0) * jnp.where(umask, w8,
+                                                            0.0)
+            strip = jnp.concatenate(
+                [strip[:, :j], newcol, strip[:, j + 1:]], axis=1) - upd
 
-        M = lax.dynamic_update_slice(M, strip, (0, k0))
+        M = jnp.concatenate([M[:, :k0], strip, M[:, k0 + _MINI:]],
+                            axis=1)
         # trailing update: one BxB MXU matmul, masked to columns > panel
-        colids = k0 + cols8                                   # (1, 8)
+        colids = k0 + jnp.arange(_MINI)[None, :]
         V = jnp.where(rows > colids, strip, 0.0)              # (B, 8)
         U = jnp.dot(V, V.T, precision=HIGHEST,
                     preferred_element_type=jnp.float32)       # (B, B)
-        tailmask = (lax.broadcasted_iota(jnp.int32, (1, B), 1)
-                    >= k0 + _MINI)
-        return M - U * tailmask
+        tailmask = (jnp.arange(B)[None, :] >= k0 + _MINI)
+        M = M - U * tailmask
 
-    M = lax.fori_loop(0, B // _MINI, panel, M)
     # zero the strictly-upper part (the factor contract: lower triangular)
     colsB = lax.broadcasted_iota(jnp.int32, (B, B), 1)
     rowsB = lax.broadcasted_iota(jnp.int32, (B, B), 0)

@@ -5,6 +5,9 @@ right-looking over 8-wide mini-panels inside VMEM, one masked MXU matmul
 per panel for the trailing update — the same structure as
 kernels.chol_tile.  Batched over the sub-diagonal tiles of one panel
 (shared L).  Select with TPUSPARSE_PALLAS_TRSM=1.
+
+The panel loop is UNROLLED in Python (static slices only): the axon
+Mosaic toolchain does not lower dynamic_slice on values.
 """
 
 from __future__ import annotations
@@ -35,32 +38,31 @@ def _trsm_kernel(l_ref, x_ref, o_ref, *, R: int, W: int):
     X = x_ref[0]                                   # (R, W)
     lrows = lax.broadcasted_iota(jnp.int32, (W, 1), 0)
 
-    def panel(kb, X):
+    for kb in range(W // _MINI):                   # static unroll
         k0 = kb * _MINI
-        strip = lax.dynamic_slice(X, (0, k0), (R, _MINI))    # (R, 8)
-        Lcols = lax.dynamic_slice(L, (0, k0), (W, _MINI))    # (W, 8)
+        strip = X[:, k0:k0 + _MINI]                # (R, 8)
+        Lcols = L[:, k0:k0 + _MINI]                # (W, 8)
 
         # solve the 8 columns against the 8x8 diagonal of L
         for j in range(_MINI):
             c = k0 + j
-            dcc = lax.dynamic_slice(Lcols, (c, j), (1, 1))   # L[c, c]
-            ycol = lax.dynamic_slice(strip, (0, j), (R, 1)) / dcc
-            strip = lax.dynamic_update_slice(strip, ycol, (0, j))
-            # strip[:, j2] -= ycol * L[c2, c] for j2 > j (c2 = k0+j2)
-            lrow8 = lax.dynamic_slice(Lcols, (k0, j), (_MINI, 1))
-            lrow8 = jnp.transpose(lrow8)                     # (1, 8)
+            ycol = strip[:, j:j + 1] / Lcols[c, j]
+            # strip[:, j2] -= ycol * L[k0+j2, c] for j2 > j
+            lrow8 = Lcols[k0:k0 + _MINI, j][None, :]          # (1, 8)
             mask = (jnp.arange(_MINI) > j)[None, :]
-            strip = strip - ycol * jnp.where(mask, lrow8, 0.0)
+            strip = jnp.concatenate(
+                [strip[:, :j], ycol, strip[:, j + 1:]], axis=1) \
+                - ycol * jnp.where(mask, lrow8, 0.0)
 
-        X = lax.dynamic_update_slice(X, strip, (0, k0))
+        X = jnp.concatenate([X[:, :k0], strip, X[:, k0 + _MINI:]],
+                            axis=1)
         # trailing update: X[:, c2] -= sum_t strip[:, t] * L[c2, t]
         # for c2 > k0+7 — masked (R,8)@(8,W) MXU matmul
         Lm = jnp.where(lrows > (k0 + _MINI - 1), Lcols, 0.0)  # (W, 8)
         upd = jnp.dot(strip, Lm.T, precision=HIGHEST,
                       preferred_element_type=jnp.float32)     # (R, W)
-        return X - upd
+        X = X - upd
 
-    X = lax.fori_loop(0, W // _MINI, panel, X)
     o_ref[0] = X
 
 
