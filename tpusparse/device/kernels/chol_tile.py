@@ -60,11 +60,13 @@ def _chol_tile_kernel(a_ref, o_ref, *, B: int):
             umask = (jnp.arange(_MINI) > j)[None, :]
             upd = jnp.where(below, newcol, 0.0) * jnp.where(umask, w8,
                                                             0.0)
-            strip = jnp.concatenate(
-                [strip[:, :j], newcol, strip[:, j + 1:]], axis=1) - upd
+            parts = (([strip[:, :j]] if j else []) + [newcol]
+                     + ([strip[:, j + 1:]] if j + 1 < _MINI else []))
+            strip = jnp.concatenate(parts, axis=1) - upd
 
-        M = jnp.concatenate([M[:, :k0], strip, M[:, k0 + _MINI:]],
-                            axis=1)
+        mparts = (([M[:, :k0]] if k0 else []) + [strip]
+                  + ([M[:, k0 + _MINI:]] if k0 + _MINI < B else []))
+        M = jnp.concatenate(mparts, axis=1)
         # trailing update: one BxB MXU matmul, masked to columns > panel
         colids = k0 + jnp.arange(_MINI)[None, :]
         V = jnp.where(rows > colids, strip, 0.0)              # (B, 8)

@@ -50,12 +50,14 @@ def _trsm_kernel(l_ref, x_ref, o_ref, *, R: int, W: int):
             # strip[:, j2] -= ycol * L[k0+j2, c] for j2 > j
             lrow8 = Lcols[k0:k0 + _MINI, j][None, :]          # (1, 8)
             mask = (jnp.arange(_MINI) > j)[None, :]
-            strip = jnp.concatenate(
-                [strip[:, :j], ycol, strip[:, j + 1:]], axis=1) \
+            parts = (([strip[:, :j]] if j else []) + [ycol]
+                     + ([strip[:, j + 1:]] if j + 1 < _MINI else []))
+            strip = jnp.concatenate(parts, axis=1) \
                 - ycol * jnp.where(mask, lrow8, 0.0)
 
-        X = jnp.concatenate([X[:, :k0], strip, X[:, k0 + _MINI:]],
-                            axis=1)
+        xparts = (([X[:, :k0]] if k0 else []) + [strip]
+                  + ([X[:, k0 + _MINI:]] if k0 + _MINI < W else []))
+        X = jnp.concatenate(xparts, axis=1)
         # trailing update: X[:, c2] -= sum_t strip[:, t] * L[c2, t]
         # for c2 > k0+7 — masked (R,8)@(8,W) MXU matmul
         Lm = jnp.where(lrows > (k0 + _MINI - 1), Lcols, 0.0)  # (W, 8)
