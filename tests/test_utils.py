@@ -92,3 +92,19 @@ def test_flop_report(rng):
     rep = flop_report(plan, 0.001)
     assert rep["gflops_true"] > 0
     assert rep["gflops_issued"] >= rep["gflops_true"]
+
+
+def test_device_chol_checkpoint_scan_path(tmp_path, rng):
+    # large panel count -> restored factor must use the scan solve
+    from tpusparse.device import TpuCholesky
+    from helpers import random_spd as _rspd
+    A, Ssp = _rspd(rng, 220, density=0.05)
+    F = TpuCholesky(A, order=1, block=8)
+    assert F.use_scan and F.factor()
+    p = str(tmp_path / "dev_scan.npz")
+    save_chol_factor(p, F)
+    F2 = load_chol_factor(p, A)
+    assert F2.use_scan
+    b = rng.normal(size=220)
+    x = F2.solve(b)
+    assert resid(Ssp.toarray(), x, b) < 1e-13

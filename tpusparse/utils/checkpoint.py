@@ -113,7 +113,8 @@ def load_chol_factor(path: str, A: CSCMatrix):
     """Restore a factored TpuCholesky bound to matrix A (for refinement)."""
     import jax.numpy as jnp
 
-    from ..device.chol_tpu import CholPlan, TpuCholesky, _solve_fn
+    from ..device.chol_tpu import (CholPlan, TpuCholesky, _solve_fn,
+                                   _solve_fn_scan)
 
     z = np.load(path)
     meta = json.loads(bytes(z["meta"]).decode())
@@ -137,6 +138,10 @@ def load_chol_factor(path: str, A: CSCMatrix):
     import jax
 
     F._factor = None                      # already factored
-    F._solve = jax.jit(_solve_fn(plan))
+    mk = (_solve_fn_scan if plan.nb >= TpuCholesky.SCAN_THRESHOLD
+          else _solve_fn)
+    F._solve = jax.jit(mk(plan))
+    F._solve_vmapped = None
+    F.use_scan = plan.nb >= TpuCholesky.SCAN_THRESHOLD
     F.pool = jnp.asarray(z["pool"])
     return F
