@@ -108,3 +108,15 @@ def test_device_chol_checkpoint_scan_path(tmp_path, rng):
     b = rng.normal(size=220)
     x = F2.solve(b)
     assert resid(Ssp.toarray(), x, b) < 1e-13
+
+
+def test_engine_metrics(rng):
+    from tpusparse.device import TpuCholesky
+    from tpusparse.device.supernodal import SupernodalCholesky
+    A, _ = random_spd(rng, 40, density=0.2)
+    m1 = TpuCholesky(A, order=1, block=8).metrics()
+    assert m1.values["chol_engine"] in ("tiled", "tiled_scan")
+    assert m1.values["chol_flops_padded"] >= m1.values["chol_flops_true"]
+    m2 = SupernodalCholesky(A, order=1).metrics()
+    assert m2.values["chol_engine"] == "supernodal"
+    assert '"chol_levels"' in m2.json()

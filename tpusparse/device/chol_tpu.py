@@ -564,6 +564,20 @@ class TpuCholesky:
             return out
         return Xp
 
+    def metrics(self):
+        """Structured per-stage metrics (SURVEY.md §5): predicted vs
+        stored nnz, true vs issued flops, padding waste."""
+        from ..utils.profiling import Metrics
+        plan = self.plan
+        m = Metrics().record_plan("chol", plan)
+        m.record(chol_engine="tiled_scan" if self.use_scan else "tiled",
+                 chol_block=plan.B, chol_panels=plan.nb,
+                 chol_tiles=int(plan.pool_init.shape[0]),
+                 chol_nnz_predicted=int(plan.lnz),
+                 chol_nnz_stored=int(plan.pool_init.shape[0]
+                                     * plan.B * plan.B))
+        return m
+
     def solve_many(self, B: np.ndarray, refine_iters: int = 3) -> np.ndarray:
         """Solve A X = B for multiple right-hand sides (n, k) with the
         factor-once/solve-many pattern (SURVEY.md §5): batched device

@@ -474,3 +474,16 @@ class SupernodalCholesky:
         if self.pools is None and not self.factor():
             raise ValueError("matrix is not positive definite")
         return refine(self.A, self._solve_f32, b, iters=refine_iters)
+
+    def metrics(self):
+        """Structured per-stage metrics (SURVEY.md §5)."""
+        from ..utils.profiling import Metrics
+        plan = self.plan
+        m = Metrics().record_plan("chol", plan)
+        m.record(chol_engine="supernodal",
+                 chol_supernodes=len(plan.snodes),
+                 chol_buckets=len(plan.buckets),
+                 chol_levels=plan.nlevels,
+                 chol_nnz_predicted=int(plan.lnz),
+                 chol_heap_floats=int(plan.heap_size))
+        return m
