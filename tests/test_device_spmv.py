@@ -88,3 +88,24 @@ def test_auto_picks_dia_for_stencil(rng):
     A = CSCMatrix(n, n, S.indptr, S.indices, S.data)
     plan = spmv_plan(A, mode="auto")
     assert plan.mode == "dia"
+
+
+def test_spmm_apply_many(rng):
+    A, S = random_csc(rng, 40, 33, density=0.2)
+    X = rng.normal(size=(33, 6))
+    for mode in ("ell", "dia" if False else "ell"):
+        pass
+    plan = spmv_plan(A, mode="ell")
+    Y = np.asarray(plan.apply_many(X))
+    assert np.allclose(Y, S.toarray() @ X, atol=1e-4)
+    # DIA path too
+    import scipy.sparse as sp
+    from tpusparse.core import CSCMatrix
+    n = 32
+    S2 = sp.diags([np.full(n, 4.0), -np.ones(n - 1)], [0, 1], format="csc")
+    S2.sort_indices()
+    A2 = CSCMatrix(n, n, S2.indptr, S2.indices, S2.data)
+    plan2 = spmv_plan(A2, mode="dia")
+    X2 = rng.normal(size=(n, 3))
+    Y2 = np.asarray(plan2.apply_many(X2))
+    assert np.allclose(Y2, S2.toarray() @ X2, atol=1e-5)

@@ -127,6 +127,7 @@ class SpmvPlan:
     waste_ratio: float
     _apply: Callable = None
     _bufs: tuple = None
+    _apply_many: Callable = None
 
     def apply(self, x) -> jnp.ndarray:
         """y = A @ x (device)."""
@@ -137,6 +138,19 @@ class SpmvPlan:
     def gaxpy(self, x, y) -> jnp.ndarray:
         """y + A @ x — the reference cs_gaxpy contract, functional."""
         return jnp.asarray(y, DTYPE).at[:self.m].add(self.apply(x))
+
+    def apply_many(self, X) -> jnp.ndarray:
+        """Y = A @ X for (n, k) multi-vectors (SpMM): vmapped over the
+        RHS axis — one device dispatch for block-Krylov / multi-RHS."""
+        X = jnp.asarray(X, DTYPE)
+        if X.ndim == 1:
+            return self.apply(X)
+        if self._apply_many is None:
+            import jax as _jax
+            self._apply_many = _jax.jit(_jax.vmap(
+                self._apply, in_axes=(None,) * len(self._bufs) + (1,),
+                out_axes=1))
+        return self._apply_many(*self._bufs, X)[:self.m]
 
 
 def spmv_plan(A: CSCMatrix, mode: str = "auto") -> SpmvPlan:
