@@ -86,8 +86,9 @@ class SupernodalPlan:
     # per level: factor membership per bucket: bucket -> slot array
     level_factor: List[Dict[Tuple[int, int], np.ndarray]]
     # per level: FUSED update groups keyed by s_bucket only:
-    #   (s_slots (P,), flat (P,Rs,Ws) int32 indices into the U heap,
-    #    mask (P,Rs,Ws) f32) — one gather + one scatter-add per bucket
+    #   (s_slots (P,), G1 (P,Rs), G0 (P,Ws), off (P,), rq (P,)) — the
+    #   flat U-heap index matrix off + G1*rq + G0 is built ON DEVICE;
+    #   one gather + one scatter-add per target bucket per level
     level_updates: List[Dict[Tuple[int, int], Tuple]]
     heap_size: int                                   # flat U heap length
     heap_off: Dict[Tuple[int, int], np.ndarray]      # bucket -> per-slot off
@@ -268,8 +269,9 @@ def plan_supernodal(A: CSCMatrix, order: int = 1,
         heap_off[b] = offs
 
     # update pairs (d -> s), fused per target bucket
-    level_updates: List[Dict] = [defaultdict(lambda: ([], [], []))
-                                 for _ in range(nlevels)]
+    level_updates: List[Dict] = [
+        defaultdict(lambda: ([], [], [], [], []))
+        for _ in range(nlevels)]
     for d in snodes:
         if d.rows.size == 0:
             continue
@@ -294,19 +296,26 @@ def plan_supernodal(A: CSCMatrix, order: int = 1,
                 pr = rowpos.get((s.sid, int(d.rows[pos])))
                 if pr is not None:
                     G1[pr] = pos
-            # flat heap indices: off_d + G1[i]*Rq_d + G0[j]
-            flat = off_d + G1[:, None] * Rq_d + G0[None, :]
-            mask = ((G1[:, None] >= 0) & (G0[None, :] >= 0))
-            flat = np.where(mask, flat, 0).astype(np.int64)
+            # factored index encoding (the flat (Rs, Ws) index matrix is
+            # computed ON DEVICE as off + G1[i]*rq + G0[j], so host
+            # memory stays O(Rs + Ws) per pair, not O(Rs * Ws))
             grp = level_updates[s.level][s.bucket]
             grp[0].append(s.slot)
-            grp[1].append(flat)
-            grp[2].append(mask.astype(np.float32))
-    level_updates = [
-        {k: (np.asarray(v[0], np.int32), np.stack(v[1]).astype(np.int32),
-             np.stack(v[2]))
-         for k, v in lu.items()}
-        for lu in level_updates]
+            grp[1].append(G1)
+            grp[2].append(G0)
+            grp[3].append(off_d)
+            grp[4].append(Rq_d)
+    level_updates2 = []
+    for lu in level_updates:
+        out = {}
+        for k, v in lu.items():
+            out[k] = (np.asarray(v[0], np.int32),
+                      np.stack(v[1]).astype(np.int64),   # G1 (P, Rs)
+                      np.stack(v[2]).astype(np.int64),   # G0 (P, Ws)
+                      np.asarray(v[3], np.int64),        # off (P,)
+                      np.asarray(v[4], np.int64))        # rq (P,)
+        level_updates2.append(out)
+    level_updates = level_updates2
 
     # --- flop accounting ----------------------------------------------------
     lnz = int(cnt.sum())
@@ -318,7 +327,7 @@ def plan_supernodal(A: CSCMatrix, order: int = 1,
         if s.rows.size:
             fp += 2 * (R - W) ** 2 * W                 # syrk
     for lu in level_updates:
-        for sb, (ssl, flat, mask) in lu.items():
+        for sb, (ssl, *_rest) in lu.items():
             fp += 2 * len(ssl) * sb[0] * sb[1]         # gather+add traffic
     assert heap_size < 2 ** 31, "U heap exceeds int32 addressing"
     return SupernodalPlan(
@@ -342,8 +351,19 @@ def _factor_fn(plan: SupernodalPlan):
         for lvl in range(plan.nlevels):
             # 1. FUSED updates: one flat-heap gather + one scatter-add
             #    per target bucket (sources at strictly lower levels)
-            for sb, (ssl, flat, mask) in plan.level_updates[lvl].items():
-                delta = heap[jnp.asarray(flat)] * jnp.asarray(mask)
+            for sb, (ssl, G1, G0, off, rq) in \
+                    plan.level_updates[lvl].items():
+                g1 = jnp.asarray(np.maximum(G1, 0).astype(np.int32))
+                g0 = jnp.asarray(np.maximum(G0, 0).astype(np.int32))
+                m = jnp.asarray(((G1[:, :, None] >= 0)
+                                 & (G0[:, None, :] >= 0))
+                                .astype(np.float32))
+                offj = jnp.asarray(off.astype(np.int32))
+                rqj = jnp.asarray(rq.astype(np.int32))
+                flat = (offj[:, None, None]
+                        + g1[:, :, None] * rqj[:, None, None]
+                        + g0[:, None, :])
+                delta = heap[flat] * m
                 pools[sb] = pools[sb].at[jnp.asarray(ssl)].add(-delta)
             # 2. batched panel factorization at this level
             for b, slots in plan.level_factor[lvl].items():
