@@ -17,7 +17,7 @@ import numpy as np
 
 from .core import CSCMatrix, add, dropzeros, droptol, fkeep, gaxpy, load, norm1, transpose
 from .core import csc_from_dense
-from .numeric import chol, cholsol, lusol, qrsol, updown
+from .numeric import chol, cholsol, updown
 from .symbolic import dmperm, schol
 
 __all__ = ["Problem", "get_problem", "rhs", "print_resid", "print_order",

@@ -26,7 +26,7 @@ host after the device run).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import jax
@@ -37,7 +37,7 @@ from ..core.matrix import CSCMatrix
 from ..core.ops import permute
 from ..core.perm import ipvec, pvec, pinv as _pinv
 from ..symbolic.amd import amd
-from .config import DTYPE, HIGHEST, default_block, round_up
+from .config import HIGHEST, default_block, round_up
 
 __all__ = ["CholPlan", "plan_cholesky", "TpuCholesky"]
 

@@ -21,7 +21,7 @@ data-dependent-pivot problem called out in SURVEY.md §7.4(1).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import List
 
 import jax.numpy as jnp
 import numpy as np
@@ -30,7 +30,6 @@ from ..core.matrix import CSCMatrix
 from ..core.ops import permute
 from ..core.perm import pinv as _pinv
 from ..symbolic.dmperm import dmperm
-from .config import round_up
 from .dense import blocked_lu, lu_solve
 
 __all__ = ["TpuLU"]

@@ -15,13 +15,10 @@ the reference driver (cs_qrsol), wrapped in f64 refinement.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 
 from ..core.matrix import CSCMatrix
-from ..core.ops import transpose
 from ..symbolic.amd import amd
 from .config import round_up
 from .dense import (blocked_qr, qr_apply_q, qr_apply_qt, qr_solve_r,

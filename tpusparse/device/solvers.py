@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..core.matrix import CSCMatrix
-from ..core.ops import gaxpy, transpose
+from ..core.ops import transpose
 from .chol_tpu import TpuCholesky
 from .lu_tpu import TpuLU
 from .qr_tpu import TpuQR

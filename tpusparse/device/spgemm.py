@@ -11,7 +11,6 @@ scatter/gather loop becomes two gathers, one einsum, one segment_sum.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax
@@ -19,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.matrix import COOMatrix, CSCMatrix
-from .config import HIGHEST, round_up
+from .config import HIGHEST
 
 __all__ = ["SpgemmPlan", "spgemm_plan", "spgemm"]
 

@@ -27,8 +27,8 @@ import numpy as np
 
 from ..core.matrix import CSCMatrix
 from .config import DTYPE, HIGHEST, pallas_interpret, round_up
-from .formats import (BellMatrix, DiaMatrix, EllMatrix, dia_offsets,
-                      to_bell, to_dia, to_ell)
+from .formats import (BellMatrix, DiaMatrix, dia_offsets, to_bell,
+                      to_dia, to_ell)
 
 __all__ = ["SpmvPlan", "spmv_plan", "gaxpy_device"]
 

@@ -26,7 +26,7 @@ the fixed-tile engine (tpusparse.device.chol_tpu).
 from __future__ import annotations
 
 from collections import defaultdict
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import jax

@@ -9,7 +9,7 @@ share a single config surface.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 __all__ = ["Settings", "settings_from_env"]
 
