@@ -101,3 +101,46 @@ def test_native_rowpatterns(rng):
         got = entries[rowptr[k]:rowptr[k + 1]].tolist()
         want = ereach(U, k, parent).tolist()
         assert got == want
+
+
+def test_native_chol_numeric_parity(rng):
+    from tpusparse.numeric.chol import chol
+    from tpusparse.symbolic import schol
+    for trial in range(4):
+        A, S = random_spd(rng, 30, density=0.2)
+        Sy = schol(1, A)
+        N_native = chol(A, Sy)                 # native path (available)
+        os.environ["TPUSPARSE_NO_NATIVE"] = "1"
+        native._lib = None
+        try:
+            N_python = chol(A, Sy)
+        finally:
+            del os.environ["TPUSPARSE_NO_NATIVE"]
+            native._lib = None
+        assert np.allclose(N_native.L.todense(), N_python.L.todense(),
+                           atol=1e-12)
+    # not-SPD must return None through the native path too
+    d = np.eye(5); d[2, 2] = -1.0
+    from tpusparse.core import csc_from_dense
+    A2 = csc_from_dense(d)
+    assert chol(A2, schol(0, A2)) is None
+
+
+def test_native_trisolve_parity(rng):
+    from tpusparse.numeric import chol as _c, lsolve, ltsolve
+    from tpusparse.symbolic import schol
+    A, S = random_spd(rng, 25, density=0.25)
+    Sy = schol(1, A)
+    N = _c(A, Sy)
+    b = rng.normal(size=25)
+    x1 = lsolve(N.L, b)
+    y1 = ltsolve(N.L, b)
+    os.environ["TPUSPARSE_NO_NATIVE"] = "1"
+    native._lib = None
+    try:
+        x2 = lsolve(N.L, b)
+        y2 = ltsolve(N.L, b)
+    finally:
+        del os.environ["TPUSPARSE_NO_NATIVE"]
+        native._lib = None
+    assert np.allclose(x1, x2) and np.allclose(y1, y2)

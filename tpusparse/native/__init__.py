@@ -16,7 +16,7 @@ import sys
 import numpy as np
 
 __all__ = ["available", "etree", "post", "counts", "amd_core",
-           "rowpatterns"]
+           "rowpatterns", "chol_numeric", "lsolve", "ltsolve"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_HERE, "libtsplanner.so")
@@ -56,6 +56,11 @@ def _load():
     lib.ts_amd_core.argtypes = [I, IP, IP, IP]
     lib.ts_amd_core.restype = ctypes.c_int
     lib.ts_rowpatterns.argtypes = [I, IP, IP, IP, IP, IP]
+    DP = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.ts_chol_numeric.argtypes = [I, IP, IP, DP, IP, IP, IP, DP]
+    lib.ts_chol_numeric.restype = ctypes.c_long
+    lib.ts_lsolve.argtypes = [I, IP, IP, DP, DP]
+    lib.ts_ltsolve.argtypes = [I, IP, IP, DP, DP]
     _lib = lib
     return lib
 
@@ -109,3 +114,33 @@ def rowpatterns(n, indptr, indices, parent, total):
     lib.ts_rowpatterns(n, _c64(indptr), _c64(indices), _c64(parent),
                        rowptr, entries)
     return rowptr, entries[:rowptr[n]]
+
+
+def chol_numeric(n, Cp, Ci, Cx, cp, parent):
+    """Native up-looking Cholesky; returns (Li, Lx) or None if not SPD."""
+    lib = _load()
+    lnz = int(cp[n])
+    Li = np.zeros(max(lnz, 1), dtype=np.int64)
+    Lx = np.zeros(max(lnz, 1), dtype=np.float64)
+    rc = lib.ts_chol_numeric(n, _c64(Cp), _c64(Ci),
+                             np.ascontiguousarray(Cx, np.float64),
+                             _c64(cp), _c64(parent), Li, Lx)
+    if rc != 0:
+        return None
+    return Li, Lx
+
+
+def lsolve(Lp, Li, Lx, b):
+    lib = _load()
+    x = np.array(b, dtype=np.float64)
+    lib.ts_lsolve(len(Lp) - 1, _c64(Lp), _c64(Li),
+                  np.ascontiguousarray(Lx, np.float64), x)
+    return x
+
+
+def ltsolve(Lp, Li, Lx, b):
+    lib = _load()
+    x = np.array(b, dtype=np.float64)
+    lib.ts_ltsolve(len(Lp) - 1, _c64(Lp), _c64(Li),
+                   np.ascontiguousarray(Lx, np.float64), x)
+    return x

@@ -480,3 +480,81 @@ void ts_rowpatterns(i64 n, const i64 *Ap, const i64 *Ai, const i64 *parent,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------- numeric
+extern "C" {
+
+// Up-looking numeric Cholesky (mirrors tpusparse.numeric.chol.chol /
+// csparse::cs_chol): C is the permuted full-symmetric CSC (f64), cp the
+// L column pointers from the symbolic phase, parent the etree.
+// Outputs Li/Lx sized cp[n]. Returns 0 on success, k+1 if the matrix is
+// not positive definite at column k.
+long ts_chol_numeric(i64 n, const i64 *Cp, const i64 *Ci, const double *Cx,
+                     const i64 *cp, const i64 *parent, i64 *Li,
+                     double *Lx) {
+  std::vector<i64> Lp(cp, cp + n + 1), c(cp, cp + n);
+  std::vector<double> x(n, 0.0);
+  std::vector<i64> s(n);
+  std::vector<char> w(n, 0);
+  for (i64 k = 0; k < n; k++) {
+    // ereach: pattern of L(k, :) in topological order
+    i64 top = n;
+    w[k] = 1;
+    for (i64 p = Cp[k]; p < Cp[k + 1]; p++) {
+      i64 i = Ci[p];
+      if (i > k) continue;
+      i64 len = 0;
+      while (!w[i]) {
+        s[len++] = i;
+        w[i] = 1;
+        i = parent[i];
+      }
+      while (len > 0) s[--top] = s[--len];
+    }
+    // x = full(triu(C(:,k)))
+    double d = 0.0;
+    for (i64 p = Cp[k]; p < Cp[k + 1]; p++) {
+      i64 i = Ci[p];
+      if (i < k)
+        x[i] = Cx[p];
+      else if (i == k)
+        d = Cx[p];
+    }
+    for (i64 pp = top; pp < n; pp++) {
+      i64 i = s[pp];
+      w[i] = 0;                        // unmark while traversing
+      double lki = x[i] / Lx[Lp[i]];
+      x[i] = 0.0;
+      for (i64 p = Lp[i] + 1; p < c[i]; p++) x[Li[p]] -= Lx[p] * lki;
+      d -= lki * lki;
+      i64 p = c[i]++;
+      Li[p] = k;
+      Lx[p] = lki;
+    }
+    w[k] = 0;
+    if (d <= 0) return k + 1;          // not positive definite
+    i64 p = c[k]++;
+    Li[p] = k;
+    Lx[p] = std::sqrt(d);
+  }
+  return 0;
+}
+
+// dense-RHS triangular solves on CSC L (diag first per column)
+void ts_lsolve(i64 n, const i64 *Lp, const i64 *Li, const double *Lx,
+               double *x) {
+  for (i64 j = 0; j < n; j++) {
+    x[j] /= Lx[Lp[j]];
+    for (i64 p = Lp[j] + 1; p < Lp[j + 1]; p++) x[Li[p]] -= Lx[p] * x[j];
+  }
+}
+
+void ts_ltsolve(i64 n, const i64 *Lp, const i64 *Li, const double *Lx,
+                double *x) {
+  for (i64 j = n - 1; j >= 0; j--) {
+    for (i64 p = Lp[j] + 1; p < Lp[j + 1]; p++) x[j] -= Lx[p] * x[Li[p]];
+    x[j] /= Lx[Lp[j]];
+  }
+}
+
+}  // extern "C"

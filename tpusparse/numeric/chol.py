@@ -48,6 +48,13 @@ def chol(A: CSCMatrix, S: Symbolic) -> Optional[Numeric]:
     Cp, Ci, Cx = C.indptr, C.indices, C.data
     cp = S.cp
     parent = S.parent
+    from .. import native
+    if native.available():
+        out = native.chol_numeric(n, Cp, Ci, Cx, cp, parent)
+        if out is None:
+            return None                         # not positive definite
+        Li_n, Lx_n = out
+        return Numeric(L=CSCMatrix(n, n, cp.copy(), Li_n, Lx_n))
     Lp = cp.copy()                              # column pointers of L
     c = cp[:n].copy()                           # next free slot per column
     Li = np.zeros(int(cp[n]), dtype=_IDX)

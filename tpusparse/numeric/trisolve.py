@@ -19,6 +19,9 @@ __all__ = ["lsolve", "ltsolve", "usolve", "utsolve", "spsolve"]
 
 def lsolve(L: CSCMatrix, b: np.ndarray) -> np.ndarray:
     """x = L \\ b, L lower triangular (diagonal first per column)."""
+    from .. import native
+    if native.available():
+        return native.lsolve(L.indptr, L.indices, L.data, b)
     x = np.array(b, dtype=np.float64, copy=True)
     Lp, Li, Lx = L.indptr, L.indices, L.data
     for j in range(L.n):
@@ -30,6 +33,9 @@ def lsolve(L: CSCMatrix, b: np.ndarray) -> np.ndarray:
 
 def ltsolve(L: CSCMatrix, b: np.ndarray) -> np.ndarray:
     """x = L' \\ b."""
+    from .. import native
+    if native.available():
+        return native.ltsolve(L.indptr, L.indices, L.data, b)
     x = np.array(b, dtype=np.float64, copy=True)
     Lp, Li, Lx = L.indptr, L.indices, L.data
     for j in range(L.n - 1, -1, -1):
