@@ -124,12 +124,25 @@ def main():
         log(f"host: symbolic {t_sym:.3f}s, numeric SKIPPED "
             f"(extrapolated {t_host:.1f}s at {rate} GF/s), lnz={Sy.lnz}")
     else:
-        t0 = time.perf_counter()
-        N = host_chol(A, Sy)
-        t_host = time.perf_counter() - t0
+        # the baseline is the REFERENCE-equivalent: the pure-Python host
+        # engine (rwl/CSparse.py is pure Python). The framework's own
+        # native-C++ host path is ~20x faster and timed separately.
+        import tpusparse.native as _native
+        os.environ["TPUSPARSE_NO_NATIVE"] = "1"
+        _native._lib = None
+        try:
+            t0 = time.perf_counter()
+            N = host_chol(A, Sy)
+            t_host = time.perf_counter() - t0
+        finally:
+            del os.environ["TPUSPARSE_NO_NATIVE"]
+            _native._lib = None
         assert N is not None
-        log(f"host: symbolic {t_sym:.3f}s, numeric chol {t_host:.3f}s, "
-            f"lnz={Sy.lnz}")
+        t0 = time.perf_counter()
+        N2 = host_chol(A, Sy)
+        t_host_native = time.perf_counter() - t0
+        log(f"host: symbolic {t_sym:.3f}s, numeric chol {t_host:.3f}s "
+            f"(python) / {t_host_native:.3f}s (native C++), lnz={Sy.lnz}")
 
     # ---- device supernodal cholesky -------------------------------------
     engine = os.environ.get("TPUSPARSE_BENCH_ENGINE", "tiled")
