@@ -54,3 +54,19 @@ def test_sharded_cg(rng):
     assert relres < 1e-5
     assert resid(S.toarray(), x, b) < 1e-5
     assert iters > 0
+
+
+def test_sharded_spmv_dia(rng):
+    import scipy.sparse as sp
+    mesh = make_mesh(8)
+    n = 96
+    S = sp.diags([np.full(n, 5.0), -np.ones(n - 1), -np.ones(n - 1),
+                  -np.ones(n - 12), -np.ones(n - 12)], [0, 1, -1, 12, -12],
+                 format="csc")
+    S.sort_indices()
+    A = csc_from_dense(S.toarray())
+    sp_plan = ShardedSpmv(A, mesh, mode="auto")
+    assert sp_plan.mode == "dia"
+    x = rng.normal(size=n)
+    y = np.asarray(sp_plan.apply(x))
+    assert np.allclose(y, S.toarray() @ x, atol=1e-5)

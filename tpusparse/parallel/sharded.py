@@ -34,19 +34,60 @@ __all__ = ["ShardedSpmv", "sharded_chol_factor", "sharded_cg"]
 
 
 class ShardedSpmv:
-    """Row-sharded ELL SpMV over a 1-D mesh."""
+    """Row-sharded SpMV over a 1-D mesh.
 
-    def __init__(self, A: CSCMatrix, mesh: Mesh, axis: str = "d"):
+    mode='dia' (auto-picked for compact diagonal structure): bands are
+    row-sharded, x replicated — zero communication in the multiply, the
+    TPU-friendly gather-free path.  mode='ell' otherwise.
+    """
+
+    def __init__(self, A: CSCMatrix, mesh: Mesh, axis: str = "d",
+                 mode: str = "auto"):
+        from ..device.formats import dia_offsets, to_dia
+
         nd = mesh.devices.size
+        self.m, self.n = A.m, A.n
+        self.mesh, self.axis = mesh, axis
+        row_sh = NamedSharding(mesh, P(axis, None))
+        if mode == "auto":
+            offs = dia_offsets(A)
+            mode = ("dia" if offs.size <= 64
+                    and A.nnz / max(offs.size * A.m, 1) > 0.2 else "ell")
+        self.mode = mode
+        if mode == "dia":
+            D = to_dia(A)
+            mp = round_up(max(D.m, 1), nd)
+            bands = np.zeros((D.offsets.size, mp), dtype=np.float32)
+            bands[:, :D.m] = D.bands
+            offs = [int(o) for o in D.offsets]
+            lo = max(0, -min(offs)) if offs else 0
+            hi = max(0, max(offs) + mp - A.n) if offs else 0
+            # bands sharded along rows; padded x replicated
+            self.bands = jax.device_put(
+                jnp.asarray(bands), NamedSharding(mesh, P(None, axis)))
+            self.flops = D.flops
+            self.bytes_min = D.bytes_min
+            m_, n_ = mp, A.n
+
+            @functools.partial(jax.jit,
+                               out_shardings=NamedSharding(mesh, P(axis)))
+            def _apply(bands, x):
+                xp = jnp.pad(x, (lo, hi))
+                y = jnp.zeros((m_,), DTYPE)
+                for d, off in enumerate(offs):
+                    y = y + bands[d] * jax.lax.dynamic_slice(
+                        xp, (lo + off,), (m_,))
+                return y
+
+            self._apply = _apply
+            self._bufs = (self.bands,)
+            return
         E = to_ell(A)
         mp = round_up(max(E.m, 1), nd)
         vals = np.zeros((mp, E.K), dtype=np.float32)
         cols = np.zeros((mp, E.K), dtype=np.int32)
         vals[:E.m] = E.vals
         cols[:E.m] = E.cols
-        self.m, self.n = A.m, A.n
-        self.mesh, self.axis = mesh, axis
-        row_sh = NamedSharding(mesh, P(axis, None))
         self.vals = jax.device_put(jnp.asarray(vals), row_sh)
         self.cols = jax.device_put(jnp.asarray(cols), row_sh)
         self.flops = E.flops
@@ -58,11 +99,12 @@ class ShardedSpmv:
             return jnp.sum(vals * x[cols], axis=1)
 
         self._apply = _apply
+        self._bufs = (self.vals, self.cols)
 
     def apply(self, x) -> jnp.ndarray:
         xr = jax.device_put(jnp.asarray(x, DTYPE),
                             NamedSharding(self.mesh, P()))
-        y = self._apply(self.vals, self.cols, xr)
+        y = self._apply(*self._bufs, xr)
         return y[:self.m]
 
 
