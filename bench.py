@@ -95,7 +95,7 @@ def main():
     dims = os.environ.get("TPUSPARSE_BENCH_GRID", "3d")
     target_n = int(os.environ.get("TPUSPARSE_BENCH_N",
                                   "13824" if dims == "3d" else "4096"))
-    B = int(os.environ.get("TPUSPARSE_BENCH_BLOCK", "128"))
+    B = int(os.environ.get("TPUSPARSE_BENCH_BLOCK", "256"))
     iters = int(os.environ.get("TPUSPARSE_BENCH_ITERS", "3"))
     # device ordering: 0 keeps the band -> dense tiles (low padding waste);
     # the host baseline uses its own best ordering (AMD) — best vs best
