@@ -109,3 +109,19 @@ def test_spmm_apply_many(rng):
     X2 = rng.normal(size=(n, 3))
     Y2 = np.asarray(plan2.apply_many(X2))
     assert np.allclose(Y2, S2.toarray() @ X2, atol=1e-5)
+
+
+def test_dia_pallas_kernel(rng, monkeypatch):
+    import scipy.sparse as sp
+    from tpusparse.core import CSCMatrix
+    monkeypatch.setenv("TPUSPARSE_PALLAS_DIA", "1")
+    n = 700
+    S = sp.diags([np.full(n, 6.0), -np.ones(n - 1), -np.ones(n - 1),
+                  -np.ones(n - 25), -np.ones(n - 25)], [0, 1, -1, 25, -25],
+                 format="csc")
+    S.sort_indices()
+    A = CSCMatrix(n, n, S.indptr, S.indices, S.data)
+    plan = spmv_plan(A, mode="dia")
+    x = rng.normal(size=n)
+    y = np.asarray(plan.apply(x))
+    assert np.allclose(y, S.toarray() @ x, atol=1e-4)

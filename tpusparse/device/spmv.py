@@ -49,11 +49,25 @@ def _ell_spmv(vals, cols, x):
 def _build_dia_fn(D: DiaMatrix):
     """Gather-free DIA SpMV: y = sum_d bands[d] * x[i + off_d] with the
     shifts realized as STATIC slices of a padded x — no gathers at all,
-    so the kernel streams at HBM speed on TPU."""
+    so the kernel streams at HBM speed on TPU.  With
+    TPUSPARSE_PALLAS_DIA=1 (and x fitting VMEM) the single-pass Pallas
+    band-streaming kernel is used instead."""
+    import os
+
     offs = [int(o) for o in D.offsets]
     m, n = D.m, D.n
     lo = max(0, -min(offs)) if offs else 0
     hi = max(0, max(offs) + m - n) if offs else 0
+    if os.environ.get("TPUSPARSE_PALLAS_DIA"):
+        from .kernels.dia_spmv import dia_spmv_pallas, dia_supported
+        if dia_supported(lo + n + hi):
+            offsets = tuple(offs)
+
+            @jax.jit
+            def fn_pallas(bands, x):
+                return dia_spmv_pallas(bands, offsets, x, m, n)
+
+            return fn_pallas
 
     @jax.jit
     def fn(bands, x):
