@@ -38,11 +38,20 @@ def dia_supported(npad: int) -> bool:
 
 
 def _kernel(x_ref, bands_ref, o_ref, *, offs, lo):
+    # Mosaic only lowers VMEM loads whose lane start is provably a
+    # multiple of 128; DIA's unit shifts are inherently misaligned, so
+    # load an ALIGNED widened window and realize the residual shift with
+    # a static in-register roll.
     i = pl.program_id(0)
-    base = i * _RB
+    base = i * _RB                              # multiple of 512
     acc = jnp.zeros((1, _RB), jnp.float32)
     for d, off in enumerate(offs):             # static unroll, ndiag small
-        xs = x_ref[:, pl.ds(base + lo + off, _RB)]      # (1, RB)
+        s = (lo + off) % 128                   # static residual shift
+        start = base + (lo + off - s)          # provably 128-aligned
+        xs_wide = x_ref[:, pl.ds(pl.multiple_of(start, 128), _RB + 128)]
+        # left-shift by s == non-negative circular roll by width - s
+        xs = (pltpu.roll(xs_wide, _RB + 128 - s, axis=1)[:, :_RB]
+              if s else xs_wide[:, :_RB])
         acc = acc + bands_ref[d:d + 1, :] * xs
     o_ref[:] = acc
 
@@ -75,8 +84,9 @@ def dia_spmv_pallas(bands, offsets, x, m: int, n: int):
     offs = tuple(int(o) for o in offsets)
     mp = -(-m // _RB) * _RB
     lo = max(0, -min(offs)) if offs else 0
-    hi = max(0, (max(offs) if offs else 0) + mp - n)
-    npad = lo + n + hi
+    # widened aligned loads read RB + 128 lanes past every start
+    hi = max(0, (max(offs) if offs else 0) + mp - n) + 256
+    npad = -(-(lo + n + hi) // 128) * 128
     # pad x and bands on host-side jnp ops (cheap, fused)
     xp = jnp.zeros((1, npad), DTYPE).at[0, lo:lo + n].set(x)
     bp = jnp.zeros((bands.shape[0], mp), DTYPE).at[:, :m].set(bands)
