@@ -13,7 +13,7 @@ Caveat recorded in BASELINE.md: axon wall-clock is non-physical, so the
 JSON also carries the analytic flop accounting (flops_true, waste_ratio)
 needed to score the 30%-of-MXU target structurally.
 
-Env knobs: TPUSPARSE_BENCH_N (default 4096), TPUSPARSE_BENCH_BLOCK (128),
+Env knobs: TPUSPARSE_BENCH_N (default 13824 3D), TPUSPARSE_BENCH_BLOCK (256),
 TPUSPARSE_BENCH_ITERS (3), TPUSPARSE_BENCH_CPU=1 to force the CPU backend.
 """
 
