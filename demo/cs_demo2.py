@@ -19,6 +19,9 @@ SUITE = ["t1", "bcsstk01", "fs_183_1", "west0479", "ash219", "lp_afiro",
 
 
 def run(path, engine=None):
+    if not os.path.exists(path):
+        print(f"cs_demo2: no such matrix file: {path}", file=sys.stderr)
+        return None
     name = os.path.basename(path)
     with open(path) as fh:
         prob = get_problem(fh, tol=1e-14 if name != "t1" else 0.0)

@@ -25,6 +25,7 @@ def main():
                      os.path.join(DATA, "bcsstk16")]
     for path in paths:
         if not os.path.exists(path):
+            print(f"cs_demo3: no such matrix file: {path}", file=sys.stderr)
             continue
         print(f"\n--- Matrix: {os.path.basename(path)} ---")
         with open(path) as fh:
