@@ -355,16 +355,19 @@ def _factor_fn(plan: SupernodalPlan):
             #    per target bucket (sources at strictly lower levels)
             for sb, (ssl, G1, G0, off, rq) in \
                     plan.level_updates[lvl].items():
-                g1 = jnp.asarray(np.maximum(G1, 0).astype(np.int32))
-                g0 = jnp.asarray(np.maximum(G0, 0).astype(np.int32))
-                m = jnp.asarray(((G1[:, :, None] >= 0)
-                                 & (G0[:, None, :] >= 0))
-                                .astype(np.float32))
+                # constants stay O(P*(Rs+Ws)): masks and the flat index
+                # matrix are computed ON DEVICE (a dense (P,Rs,Ws)
+                # constant overflows the axon remote-compile payload)
+                g1 = jnp.asarray(G1.astype(np.int32))        # -1 pads
+                g0 = jnp.asarray(G0.astype(np.int32))
                 offj = jnp.asarray(off.astype(np.int32))
                 rqj = jnp.asarray(rq.astype(np.int32))
+                m = ((g1[:, :, None] >= 0)
+                     & (g0[:, None, :] >= 0)).astype(jnp.float32)
                 flat = (offj[:, None, None]
-                        + g1[:, :, None] * rqj[:, None, None]
-                        + g0[:, None, :])
+                        + jnp.maximum(g1, 0)[:, :, None]
+                        * rqj[:, None, None]
+                        + jnp.maximum(g0, 0)[:, None, :])
                 delta = heap[flat] * m
                 pools[sb] = pools[sb].at[jnp.asarray(ssl)].add(-delta)
             # 2. batched panel factorization at this level
