@@ -94,6 +94,7 @@ class SupernodalPlan:
     heap_off: Dict[Tuple[int, int], np.ndarray]      # bucket -> per-slot off
     flops_true: int
     flops_padded: int
+    flops_selection: int         # one-hot column-selection MXU overhead
     lnz: int
 
     @property
@@ -256,8 +257,10 @@ def plan_supernodal(A: CSCMatrix, order: int = 1, wmax: int = 128,
         for lf in level_factor]
 
     # --- U heap layout: every supernode with od rows gets a static slab
-    # of (Rq*Rq) floats; update gathers address the heap FLAT, so all
-    # pairs targeting one s-bucket fuse into ONE gather + scatter-add.
+    # of (Rq*Rq) floats, Rq-ALIGNED so rows can be addressed as
+    # heap.reshape(-1, Rq)[off//Rq + i] — the update step gathers whole
+    # ROWS (fast slab gather) and selects columns with a one-hot MXU
+    # matmul (element gathers are ~16x slower on this backend).
     heap_off: Dict[Tuple[int, int], np.ndarray] = {}
     heap_size = 0
     for b in buckets:
@@ -266,13 +269,15 @@ def plan_supernodal(A: CSCMatrix, order: int = 1, wmax: int = 128,
         cnt_b = bucket_count[b]
         offs = np.full(cnt_b, -1, np.int64)
         if Rq > 0:
+            heap_size = -(-heap_size // Rq) * Rq       # align to Rq
             offs[:] = heap_size + np.arange(cnt_b) * Rq * Rq
             heap_size += cnt_b * Rq * Rq
         heap_off[b] = offs
 
-    # update pairs (d -> s), fused per target bucket
+    # update pairs (d -> s), fused per (source Rq, target bucket): same
+    # Rq lets one reshape/row-gather serve the whole group
     level_updates: List[Dict] = [
-        defaultdict(lambda: ([], [], [], [], []))
+        defaultdict(lambda: ([], [], [], []))
         for _ in range(nlevels)]
     for d in snodes:
         if d.rows.size == 0:
@@ -298,15 +303,11 @@ def plan_supernodal(A: CSCMatrix, order: int = 1, wmax: int = 128,
                 pr = rowpos.get((s.sid, int(d.rows[pos])))
                 if pr is not None:
                     G1[pr] = pos
-            # factored index encoding (the flat (Rs, Ws) index matrix is
-            # computed ON DEVICE as off + G1[i]*rq + G0[j], so host
-            # memory stays O(Rs + Ws) per pair, not O(Rs * Ws))
-            grp = level_updates[s.level][s.bucket]
+            grp = level_updates[s.level][(Rq_d, s.bucket)]
             grp[0].append(s.slot)
             grp[1].append(G1)
             grp[2].append(G0)
             grp[3].append(off_d)
-            grp[4].append(Rq_d)
     level_updates2 = []
     for lu in level_updates:
         out = {}
@@ -314,8 +315,7 @@ def plan_supernodal(A: CSCMatrix, order: int = 1, wmax: int = 128,
             out[k] = (np.asarray(v[0], np.int32),
                       np.stack(v[1]).astype(np.int64),   # G1 (P, Rs)
                       np.stack(v[2]).astype(np.int64),   # G0 (P, Ws)
-                      np.asarray(v[3], np.int64),        # off (P,)
-                      np.asarray(v[4], np.int64))        # rq (P,)
+                      np.asarray(v[3], np.int64))        # off (P,)
         level_updates2.append(out)
     level_updates = level_updates2
 
@@ -328,16 +328,18 @@ def plan_supernodal(A: CSCMatrix, order: int = 1, wmax: int = 128,
         fp += W ** 3 // 3 + (R - W) * W * W            # chol + trsm
         if s.rows.size:
             fp += 2 * (R - W) ** 2 * W                 # syrk
+    fsel = 0
     for lu in level_updates:
-        for sb, (ssl, *_rest) in lu.items():
+        for (rq, sb), (ssl, *_rest) in lu.items():
             fp += 2 * len(ssl) * sb[0] * sb[1]         # gather+add traffic
+            fsel += 2 * len(ssl) * sb[0] * rq * sb[1]  # one-hot selection
     assert heap_size < 2 ** 31, "U heap exceeds int32 addressing"
     return SupernodalPlan(
         n=n, perm=p, snodes=snodes, col2sn=col2sn, nlevels=nlevels,
         buckets=buckets, pool_init=pool_init, level_factor=level_factor,
         level_updates=level_updates, heap_size=heap_size,
         heap_off=heap_off, flops_true=flops_true,
-        flops_padded=fp, lnz=lnz)
+        flops_padded=fp, flops_selection=fsel, lnz=lnz)
 
 
 # ------------------------------------------------------------------ device
@@ -353,22 +355,25 @@ def _factor_fn(plan: SupernodalPlan):
         for lvl in range(plan.nlevels):
             # 1. FUSED updates: one flat-heap gather + one scatter-add
             #    per target bucket (sources at strictly lower levels)
-            for sb, (ssl, G1, G0, off, rq) in \
+            for (rq, sb), (ssl, G1, G0, off) in \
                     plan.level_updates[lvl].items():
-                # constants stay O(P*(Rs+Ws)): masks and the flat index
-                # matrix are computed ON DEVICE (a dense (P,Rs,Ws)
-                # constant overflows the axon remote-compile payload)
+                # ROW slab gather + one-hot MXU column selection: element
+                # gathers are ~16x slower on this backend, and dense
+                # (P,Rs,Ws) trace-time constants overflow the remote
+                # compiler, so indices/masks are built on device
                 g1 = jnp.asarray(G1.astype(np.int32))        # -1 pads
                 g0 = jnp.asarray(G0.astype(np.int32))
                 offj = jnp.asarray(off.astype(np.int32))
-                rqj = jnp.asarray(rq.astype(np.int32))
-                m = ((g1[:, :, None] >= 0)
-                     & (g0[:, None, :] >= 0)).astype(jnp.float32)
-                flat = (offj[:, None, None]
-                        + jnp.maximum(g1, 0)[:, :, None]
-                        * rqj[:, None, None]
-                        + jnp.maximum(g0, 0)[:, None, :])
-                delta = heap[flat] * m
+                usable = (heap.shape[0] // rq) * rq
+                heap2d = heap[:usable].reshape(-1, rq)
+                rowids = offj[:, None] // rq + jnp.maximum(g1, 0)
+                rows = heap2d[rowids]                        # (P, Rs, rq)
+                rows = rows * (g1[:, :, None] >= 0).astype(rows.dtype)
+                E0 = (jnp.maximum(g0, 0)[:, :, None]
+                      == jnp.arange(rq)[None, None, :])
+                E0 = (E0 & (g0[:, :, None] >= 0)).astype(jnp.float32)
+                delta = jnp.einsum("prq,pwq->prw", rows, E0,
+                                   precision=HIGHEST)
                 pools[sb] = pools[sb].at[jnp.asarray(ssl)].add(-delta)
             # 2. batched panel factorization at this level
             for b, slots in plan.level_factor[lvl].items():
