@@ -85,13 +85,11 @@ class SupernodalPlan:
     pool_init: Dict[Tuple[int, int], np.ndarray]    # bucket -> (cnt,R,W)
     # per level: factor membership per bucket: bucket -> slot array
     level_factor: List[Dict[Tuple[int, int], np.ndarray]]
-    # per level: FUSED update groups keyed by s_bucket only:
-    #   (s_slots (P,), G1 (P,Rs), G0 (P,Ws), off (P,), rq (P,)) — the
-    #   flat U-heap index matrix off + G1*rq + G0 is built ON DEVICE;
-    #   one gather + one scatter-add per target bucket per level
-    level_updates: List[Dict[Tuple[int, int], Tuple]]
-    heap_size: int                                   # flat U heap length
-    heap_off: Dict[Tuple[int, int], np.ndarray]      # bucket -> per-slot off
+    # per level: update groups keyed (d_bucket, s_bucket):
+    #   (s_slots (P,), G1 (P,Rs), G0 (P,Ws), d_slots (P,)) — update
+    #   blocks computed directly as L1 @ L0^T from row slab-gathers of
+    #   the factored descendant panels (no multifrontal U matrices)
+    level_updates: List[Dict[Tuple, Tuple]]
     flops_true: int
     flops_padded: int
     flops_selection: int         # one-hot column-selection MXU overhead
@@ -256,35 +254,18 @@ def plan_supernodal(A: CSCMatrix, order: int = 1, wmax: int = 128,
         {b: np.asarray(v, np.int32) for b, v in lf.items()}
         for lf in level_factor]
 
-    # --- U heap layout: every supernode with od rows gets a static slab
-    # of (Rq*Rq) floats, Rq-ALIGNED so rows can be addressed as
-    # heap.reshape(-1, Rq)[off//Rq + i] — the update step gathers whole
-    # ROWS (fast slab gather) and selects columns with a one-hot MXU
-    # matmul (element gathers are ~16x slower on this backend).
-    heap_off: Dict[Tuple[int, int], np.ndarray] = {}
-    heap_size = 0
-    for b in buckets:
-        R, W = b
-        Rq = R - W
-        cnt_b = bucket_count[b]
-        offs = np.full(cnt_b, -1, np.int64)
-        if Rq > 0:
-            heap_size = -(-heap_size // Rq) * Rq       # align to Rq
-            offs[:] = heap_size + np.arange(cnt_b) * Rq * Rq
-            heap_size += cnt_b * Rq * Rq
-        heap_off[b] = offs
-
-    # update pairs (d -> s), fused per (source Rq, target bucket): same
-    # Rq lets one reshape/row-gather serve the whole group
+    # update pairs (d -> s): the update block is computed DIRECTLY as
+    # L1 @ L0^T from row slab-gathers of the factored descendant panel —
+    # no multifrontal U matrices at all.  This is strictly cheaper than
+    # SYRK + selection (sum over targets of Rs*Ws <= Rq^2) and avoids
+    # element gathers (~16x slower than slab gathers on this backend).
+    # Groups keyed (d_bucket, s_bucket) so one reshape serves the batch.
     level_updates: List[Dict] = [
         defaultdict(lambda: ([], [], [], []))
         for _ in range(nlevels)]
     for d in snodes:
         if d.rows.size == 0:
             continue
-        Rd, Wd = d.bucket
-        Rq_d = Rd - Wd
-        off_d = int(heap_off[d.bucket][d.slot])
         tgt = col2sn[d.rows]
         for t in np.unique(tgt):
             s = snodes[int(t)]
@@ -303,11 +284,11 @@ def plan_supernodal(A: CSCMatrix, order: int = 1, wmax: int = 128,
                 pr = rowpos.get((s.sid, int(d.rows[pos])))
                 if pr is not None:
                     G1[pr] = pos
-            grp = level_updates[s.level][(Rq_d, s.bucket)]
+            grp = level_updates[s.level][(d.bucket, s.bucket)]
             grp[0].append(s.slot)
             grp[1].append(G1)
             grp[2].append(G0)
-            grp[3].append(off_d)
+            grp[3].append(d.slot)
     level_updates2 = []
     for lu in level_updates:
         out = {}
@@ -315,7 +296,7 @@ def plan_supernodal(A: CSCMatrix, order: int = 1, wmax: int = 128,
             out[k] = (np.asarray(v[0], np.int32),
                       np.stack(v[1]).astype(np.int64),   # G1 (P, Rs)
                       np.stack(v[2]).astype(np.int64),   # G0 (P, Ws)
-                      np.asarray(v[3], np.int64))        # off (P,)
+                      np.asarray(v[3], np.int64))        # dslot (P,)
         level_updates2.append(out)
     level_updates = level_updates2
 
@@ -326,19 +307,15 @@ def plan_supernodal(A: CSCMatrix, order: int = 1, wmax: int = 128,
     for s in snodes:
         R, W = s.bucket
         fp += W ** 3 // 3 + (R - W) * W * W            # chol + trsm
-        if s.rows.size:
-            fp += 2 * (R - W) ** 2 * W                 # syrk
     fsel = 0
     for lu in level_updates:
-        for (rq, sb), (ssl, *_rest) in lu.items():
-            fp += 2 * len(ssl) * sb[0] * sb[1]         # gather+add traffic
-            fsel += 2 * len(ssl) * sb[0] * rq * sb[1]  # one-hot selection
-    assert heap_size < 2 ** 31, "U heap exceeds int32 addressing"
+        for (db, sb), (ssl, *_rest) in lu.items():
+            # direct update GEMMs: (Rs x Wd) @ (Wd x Ws) per pair
+            fp += 2 * len(ssl) * sb[0] * db[1] * sb[1]
     return SupernodalPlan(
         n=n, perm=p, snodes=snodes, col2sn=col2sn, nlevels=nlevels,
         buckets=buckets, pool_init=pool_init, level_factor=level_factor,
-        level_updates=level_updates, heap_size=heap_size,
-        heap_off=heap_off, flops_true=flops_true,
+        level_updates=level_updates, flops_true=flops_true,
         flops_padded=fp, flops_selection=fsel, lnz=lnz)
 
 
@@ -346,33 +323,28 @@ def plan_supernodal(A: CSCMatrix, order: int = 1, wmax: int = 128,
 def _factor_fn(plan: SupernodalPlan):
     """Jittable factor: bucket-pool pytree -> (factored pools, U mats)."""
 
-    heap_off = {b: jnp.asarray(np.maximum(v, 0).astype(np.int32))
-                for b, v in plan.heap_off.items()}
-
     def factor(pools):
         pools = dict(pools)
-        heap = jnp.zeros((max(plan.heap_size, 1),), jnp.float32)
         for lvl in range(plan.nlevels):
-            # 1. FUSED updates: one flat-heap gather + one scatter-add
-            #    per target bucket (sources at strictly lower levels)
-            for (rq, sb), (ssl, G1, G0, off) in \
+            # 1. updates: row slab-gathers of the factored descendant
+            #    panels + one batched GEMM per group — update blocks are
+            #    computed DIRECTLY as L1 @ L0^T (no multifrontal U
+            #    matrices; element gathers are ~16x slower than slab
+            #    gathers on this backend, and dense trace-time constants
+            #    overflow the remote compiler, so indices are device-built)
+            for (db, sb), (ssl, G1, G0, dsl) in \
                     plan.level_updates[lvl].items():
-                # ROW slab gather + one-hot MXU column selection: element
-                # gathers are ~16x slower on this backend, and dense
-                # (P,Rs,Ws) trace-time constants overflow the remote
-                # compiler, so indices/masks are built on device
+                Rd, Wd = db
                 g1 = jnp.asarray(G1.astype(np.int32))        # -1 pads
                 g0 = jnp.asarray(G0.astype(np.int32))
-                offj = jnp.asarray(off.astype(np.int32))
-                usable = (heap.shape[0] // rq) * rq
-                heap2d = heap[:usable].reshape(-1, rq)
-                rowids = offj[:, None] // rq + jnp.maximum(g1, 0)
-                rows = heap2d[rowids]                        # (P, Rs, rq)
-                rows = rows * (g1[:, :, None] >= 0).astype(rows.dtype)
-                E0 = (jnp.maximum(g0, 0)[:, :, None]
-                      == jnp.arange(rq)[None, None, :])
-                E0 = (E0 & (g0[:, :, None] >= 0)).astype(jnp.float32)
-                delta = jnp.einsum("prq,pwq->prw", rows, E0,
+                dslj = jnp.asarray(dsl.astype(np.int32))
+                flat = pools[db].reshape(-1, Wd)             # (cnt*Rd, Wd)
+                base = dslj[:, None] * Rd + Wd               # od rows start
+                L1 = flat[base + jnp.maximum(g1, 0)]         # (P, Rs, Wd)
+                L1 = L1 * (g1[:, :, None] >= 0).astype(L1.dtype)
+                L0 = flat[base + jnp.maximum(g0, 0)]         # (P, Ws, Wd)
+                L0 = L0 * (g0[:, :, None] >= 0).astype(L0.dtype)
+                delta = jnp.einsum("piw,pjw->pij", L1, L0,
                                    precision=HIGHEST)
                 pools[sb] = pools[sb].at[jnp.asarray(ssl)].add(-delta)
             # 2. batched panel factorization at this level
@@ -389,16 +361,6 @@ def _factor_fn(plan: SupernodalPlan):
                         Lkk, below, left_side=False, lower=True,
                         transpose_a=True)
                     Pnew = jnp.concatenate([Lkk, Y], axis=1)
-                    # 3. multifrontal update matrices (batched SYRK, MXU)
-                    #    written into their static heap slabs
-                    Unew = jnp.einsum("crw,cqw->crq", Y, Y,
-                                      precision=HIGHEST)
-                    Rq = R - W
-                    offs = heap_off[b][sl]             # (cnt,)
-                    idx = (offs[:, None]
-                           + jnp.arange(Rq * Rq, dtype=jnp.int32)[None, :])
-                    heap = heap.at[idx].set(
-                        Unew.reshape(Unew.shape[0], -1))
                 else:
                     Pnew = Lkk
                 pools[b] = pools[b].at[sl].set(Pnew)
@@ -516,6 +478,5 @@ class SupernodalCholesky:
                  chol_supernodes=len(plan.snodes),
                  chol_buckets=len(plan.buckets),
                  chol_levels=plan.nlevels,
-                 chol_nnz_predicted=int(plan.lnz),
-                 chol_heap_floats=int(plan.heap_size))
+                 chol_nnz_predicted=int(plan.lnz))
         return m
