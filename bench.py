@@ -164,7 +164,10 @@ def main():
         raw_factor = _sn_factor(plan)
 
         def probe(pools):
-            return list(pools.values())[0]
+            # full reduction: every iteration's ENTIRE factorization must
+            # be computed (a single-element probe lets XLA dead-code
+            # eliminate the rest of non-final iterations)
+            return sum(jnp.sum(v) for v in pools.values())[None]
 
         nb_eff = plan.nlevels
     else:
@@ -182,7 +185,7 @@ def main():
                       else _factor_fn(plan))
 
         def probe(pool):
-            return pool
+            return jnp.sum(pool)[None]     # full reduction, defeats DCE
 
         nb_eff = plan.nb
     t0 = time.perf_counter()
