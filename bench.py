@@ -145,7 +145,7 @@ def main():
             f"(python) / {t_host_native:.3f}s (native C++), lnz={Sy.lnz}")
 
     # ---- device supernodal cholesky -------------------------------------
-    engine = os.environ.get("TPUSPARSE_BENCH_ENGINE", "tiled")
+    engine = os.environ.get("TPUSPARSE_BENCH_ENGINE", "supernodal")
     t0 = time.perf_counter()
     if engine == "supernodal":
         from tpusparse.device.supernodal import (SupernodalCholesky,
