@@ -53,3 +53,24 @@ def test_supernodal_plan_stats(rng):
     # column coverage is a partition
     assert np.array_equal(np.sort(np.unique(p.col2sn)),
                           np.arange(len(p.snodes)))
+
+
+def test_supernodal_3d_grid_vs_tiled(rng):
+    # the bench configuration in miniature: both engines must agree
+    import importlib.util, os as _os
+    spec = importlib.util.spec_from_file_location(
+        "bench", _os.path.join(_os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    A, S = bench.grid_spd_3d(8)            # n=512
+    b = 1.0 + np.arange(A.n) / A.n
+    from tpusparse.device.chol_tpu import TpuCholesky
+    Fs = SupernodalCholesky(A, order=1)
+    assert Fs.factor()
+    xs = Fs.solve(b)
+    Ft = TpuCholesky(A, order=0, block=64)
+    assert Ft.factor()
+    xt = Ft.solve(b)
+    assert resid(S.toarray(), xs, b) < 1e-13
+    assert resid(S.toarray(), xt, b) < 1e-13
+    assert np.allclose(xs, xt, atol=1e-10)
