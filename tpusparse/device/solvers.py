@@ -24,20 +24,27 @@ __all__ = ["cholsol", "lusol", "qrsol"]
 def cholsol(order: int, A: CSCMatrix, b: np.ndarray):
     """SPD solve on device (reference: cs_cholsol).
 
-    TPUSPARSE_CHOL_ENGINE=supernodal selects the variable-panel engine
-    (tpusparse.device.supernodal); default is the fixed-tile engine.
+    Default engine is the variable-panel supernodal factorization (the
+    fastest on hardware — BASELINE.md round-1 table); set
+    TPUSPARSE_CHOL_ENGINE=tiled for the fixed-tile engine.  Planning
+    errors fall back to the tiled engine before failing.
     """
     import os
     if A.m != A.n or A.m != len(b):
         return False, None
-    try:
-        if os.environ.get("TPUSPARSE_CHOL_ENGINE") == "supernodal":
+    engine = os.environ.get("TPUSPARSE_CHOL_ENGINE", "supernodal")
+    F = None
+    if engine != "tiled":
+        try:
             from .supernodal import SupernodalCholesky
             F = SupernodalCholesky(A, order=order if order else 1)
-        else:
+        except Exception:
+            F = None
+    if F is None:
+        try:
             F = TpuCholesky(A, order=order)
-    except Exception:
-        return False, None
+        except Exception:
+            return False, None
     if not F.factor():
         return False, None
     return True, F.solve(np.asarray(b, np.float64))
