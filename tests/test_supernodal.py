@@ -74,3 +74,14 @@ def test_supernodal_3d_grid_vs_tiled(rng):
     assert resid(S.toarray(), xs, b) < 1e-13
     assert resid(S.toarray(), xt, b) < 1e-13
     assert np.allclose(xs, xt, atol=1e-10)
+
+
+def test_supernodal_solve_many(rng):
+    n = 80
+    A, S = random_spd(rng, n, density=0.1)
+    F = SupernodalCholesky(A, order=1)
+    assert F.factor()
+    B = rng.normal(size=(n, 4))
+    X = F.solve_many(B)
+    for j in range(4):
+        assert resid(S.toarray(), X[:, j], B[:, j]) < 1e-13

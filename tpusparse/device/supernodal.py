@@ -469,6 +469,43 @@ class SupernodalCholesky:
             raise ValueError("matrix is not positive definite")
         return refine(self.A, self._solve_f32, b, iters=refine_iters)
 
+    def solve_many(self, B: np.ndarray, refine_iters: int = 3) -> np.ndarray:
+        """Solve A X = B for (n, k) right-hand sides: vmapped device
+        solves + batched f64 refinement (factor-once/solve-many)."""
+        B = np.asarray(B, dtype=np.float64)
+        if B.ndim == 1:
+            return self.solve(B, refine_iters)
+        if self.pools is None and not self.factor():
+            raise ValueError("matrix is not positive definite")
+        if getattr(self, "_solve_vmapped", None) is None:
+            self._solve_vmapped = jax.jit(jax.vmap(
+                _solve_fn(self.plan), in_axes=(None, 0)))
+        plan = self.plan
+        from ..core.ops import gaxpy, norm1
+
+        def solve_f32_many(Bm):
+            k = Bm.shape[1]
+            Bp = Bm[plan.perm]
+            xpad = np.zeros((k, plan.n + 1), dtype=np.float32)
+            xpad[:, :plan.n] = Bp.T
+            out = self._solve_vmapped(self.pools, jnp.asarray(xpad))
+            Xp = np.asarray(out, np.float64)[:, :plan.n].T
+            res = np.zeros_like(Xp)
+            res[plan.perm] = Xp
+            return res
+
+        X = solve_f32_many(B)
+        nrmA = norm1(self.A)
+        for _ in range(refine_iters):
+            R = np.stack([B[:, j] - gaxpy(self.A, X[:, j],
+                                          np.zeros(self.A.m))
+                          for j in range(B.shape[1])], axis=1)
+            denom = nrmA * np.abs(X).max() + np.abs(B).max()
+            if denom == 0 or np.abs(R).max() / denom < 1e-14:
+                break
+            X = X + solve_f32_many(R)
+        return X
+
     def metrics(self):
         """Structured per-stage metrics (SURVEY.md §5)."""
         from ..utils.profiling import Metrics
