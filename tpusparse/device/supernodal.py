@@ -92,7 +92,6 @@ class SupernodalPlan:
     level_updates: List[Dict[Tuple, Tuple]]
     flops_true: int
     flops_padded: int
-    flops_selection: int         # one-hot column-selection MXU overhead
     lnz: int
 
     @property
@@ -307,7 +306,6 @@ def plan_supernodal(A: CSCMatrix, order: int = 1, wmax: int = 128,
     for s in snodes:
         R, W = s.bucket
         fp += W ** 3 // 3 + (R - W) * W * W            # chol + trsm
-    fsel = 0
     for lu in level_updates:
         for (db, sb), (ssl, *_rest) in lu.items():
             # direct update GEMMs: (Rs x Wd) @ (Wd x Ws) per pair
@@ -316,7 +314,7 @@ def plan_supernodal(A: CSCMatrix, order: int = 1, wmax: int = 128,
         n=n, perm=p, snodes=snodes, col2sn=col2sn, nlevels=nlevels,
         buckets=buckets, pool_init=pool_init, level_factor=level_factor,
         level_updates=level_updates, flops_true=flops_true,
-        flops_padded=fp, flops_selection=fsel, lnz=lnz)
+        flops_padded=fp, lnz=lnz)
 
 
 # ------------------------------------------------------------------ device
