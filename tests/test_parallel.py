@@ -70,3 +70,26 @@ def test_sharded_spmv_dia(rng):
     x = rng.normal(size=n)
     y = np.asarray(sp_plan.apply(x))
     assert np.allclose(y, S.toarray() @ x, atol=1e-5)
+
+
+def test_sharded_supernodal_factor(rng):
+    import jax
+    import jax.numpy as jnp
+    from tpusparse.device.supernodal import plan_supernodal, _solve_fn
+    from tpusparse.parallel import sharded_supernodal_factor
+    mesh = make_mesh(4)
+    n = 64
+    A, S = random_spd(rng, n, density=0.2)
+    plan = plan_supernodal(A, order=1)
+    factor = jax.jit(sharded_supernodal_factor(plan, mesh))
+    pools = factor({b: jnp.asarray(v) for b, v in plan.pool_init.items()})
+    # solve with the sharded-factored pools and check the residual
+    solve = jax.jit(_solve_fn(plan))
+    b = rng.normal(size=n)
+    bp = b[plan.perm]
+    xpad = np.zeros(n + 1, dtype=np.float32)
+    xpad[:n] = bp
+    out = np.asarray(solve(pools, jnp.asarray(xpad)), np.float64)[:n]
+    x = np.zeros(n)
+    x[plan.perm] = out
+    assert resid(S.toarray(), x, b) < 1e-5     # raw f32, no refinement

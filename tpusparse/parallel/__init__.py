@@ -1,5 +1,7 @@
 from .mesh import make_mesh, P, NamedSharding
-from .sharded import ShardedSpmv, sharded_chol_factor, sharded_cg
+from .sharded import (ShardedSpmv, sharded_chol_factor,
+                      sharded_supernodal_factor, sharded_cg)
 
 __all__ = ["make_mesh", "P", "NamedSharding", "ShardedSpmv",
-           "sharded_chol_factor", "sharded_cg"]
+           "sharded_chol_factor", "sharded_supernodal_factor",
+           "sharded_cg"]
