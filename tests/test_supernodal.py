@@ -85,3 +85,15 @@ def test_supernodal_solve_many(rng):
     X = F.solve_many(B)
     for j in range(4):
         assert resid(S.toarray(), X[:, j], B[:, j]) < 1e-13
+
+
+def test_supernodal_fuzz_compact(rng):
+    # durable slice of the deep fuzz: random sizes/densities/orders
+    for t in range(6):
+        n = int(rng.integers(5, 120))
+        dens = float(rng.uniform(0.05, 0.5))
+        A, S = random_spd(rng, n, density=dens)
+        F = SupernodalCholesky(A, order=int(rng.integers(0, 2)))
+        assert F.factor(), (t, n, dens)
+        b = rng.normal(size=n)
+        assert resid(S.toarray(), F.solve(b), b) < 1e-13
