@@ -2,8 +2,13 @@
 """demo2: the reference's regression driver (SURVEY.md §3.5) — dmperm
 stats + QR/LU/Cholesky solves with residual table.
 
-Usage: python cs_demo2.py data/<matrix> [--tpu]
-       python cs_demo2.py --all [--tpu]
+Usage: python cs_demo2.py data/<matrix> [--tpu] [--engine ENG]
+       python cs_demo2.py --all [--tpu] [--engine ENG]
+
+--engine host        : host f64 engine (default without --tpu)
+--engine tpu         : device engines, default Cholesky (supernodal)
+--engine tiled       : device engines, fixed-tile Cholesky
+--engine supernodal  : device engines, supernodal Cholesky
 """
 
 import os
@@ -33,8 +38,30 @@ def run(path, engine=None):
 def main():
     args = [a for a in sys.argv[1:]]
     engine = None
+    want_device = False
     if "--tpu" in args:
         args.remove("--tpu")
+        want_device = True
+    if "--engine" in args:
+        i = args.index("--engine")
+        try:
+            choice = args[i + 1]
+        except IndexError:
+            print("cs_demo2: --engine needs an argument "
+                  "(host|tpu|tiled|supernodal)", file=sys.stderr)
+            return 1
+        del args[i:i + 2]
+        if choice == "host":
+            want_device = False
+        elif choice in ("tpu", "tiled", "supernodal"):
+            want_device = True
+            if choice != "tpu":
+                os.environ["TPUSPARSE_CHOL_ENGINE"] = choice
+        else:
+            print(f"cs_demo2: unknown engine '{choice}' "
+                  "(host|tpu|tiled|supernodal)", file=sys.stderr)
+            return 1
+    if want_device:
         from tpusparse.device import solvers as engine
     if args and args[0] == "--all":
         for name in SUITE:

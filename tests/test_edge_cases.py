@@ -93,6 +93,28 @@ def test_device_tiny(rng):
     assert resid(d, x, np.array([1.0, 2.0])) < 1e-14
 
 
+def test_singular_u_clean_failure(rng):
+    """A rank-deficient matrix reaching usolve/utsolve must return a
+    clean ok=False — no RuntimeWarning, no NaN (ADVICE r1 #4)."""
+    import warnings
+    from tpusparse.numeric import usolve, utsolve
+    # rank-1 square matrix: QR's R has a zero diagonal entry
+    d = np.outer([1.0, 2.0, 3.0], [1.0, 1.0, 1.0])
+    A = csc_from_dense(d)
+    b = rng.normal(size=3)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")          # any warning -> test failure
+        ok, x = qrsol(0, A, b.copy())
+    assert not ok and x is None
+    # direct usolve/utsolve on a singular U: flagged None, api False
+    U = csc_from_dense(np.array([[1.0, 2.0], [0.0, 0.0]]))
+    assert usolve(U, np.ones(2)) is None
+    assert utsolve(U, np.ones(2)) is None
+    buf = np.ones(2)
+    assert api.cs_usolve(U, buf) is False
+    assert np.all(buf == 1.0)                   # b untouched on failure
+
+
 def test_qrsol_wide_flat(rng):
     # 1 x n and m x 1 extremes
     A = csc_from_dense(np.array([[1.0, 2.0, 2.0]]))

@@ -285,12 +285,18 @@ def cs_ltsolve(L, x):
 
 
 def cs_usolve(U, x):
-    x[:U.n] = _tri.usolve(U, x)[:U.n]
+    r = _tri.usolve(U, x)
+    if r is None:
+        return False                     # zero pivot: b untouched, flagged
+    x[:U.n] = r[:U.n]
     return True
 
 
 def cs_utsolve(U, x):
-    x[:U.n] = _tri.utsolve(U, x)[:U.n]
+    r = _tri.utsolve(U, x)
+    if r is None:
+        return False
+    x[:U.n] = r[:U.n]
     return True
 
 

@@ -4,10 +4,15 @@ demo2 and the api layer can swap engines (SURVEY.md §3.5).
 
 Each driver: host symbolic planning -> f32 device factorization ->
 device solves -> host f64 iterative refinement to the reference's
-residual grade.  Failures are silent-but-flagged, never exceptions.
+residual grade.  Failures are silent-but-flagged, never exceptions —
+but engine *degradation* (a planner crash falling back to a simpler
+engine) is always logged so real defects stay observable (ADVICE r1).
 """
 
 from __future__ import annotations
+
+import logging
+import os
 
 import numpy as np
 
@@ -20,30 +25,46 @@ from .refine import refine
 
 __all__ = ["cholsol", "lusol", "qrsol"]
 
+log = logging.getLogger("tpusparse.device")
 
-def cholsol(order: int, A: CSCMatrix, b: np.ndarray):
+
+def _log_fallback(engine: str, exc: Exception, to: str) -> None:
+    """An engine crashed during planning/compile.  This is a DEFECT in
+    that engine (legitimate numeric failures use the ok=False contract,
+    not exceptions), so it is logged loudly before degrading."""
+    log.warning("%s engine failed (%s: %s) — falling back to %s",
+                engine, type(exc).__name__, exc, to)
+    log.debug("engine traceback", exc_info=exc)
+
+
+def cholsol(order: int, A: CSCMatrix, b: np.ndarray, engine: str = None):
     """SPD solve on device (reference: cs_cholsol).
 
     Default engine is the variable-panel supernodal factorization (the
-    fastest on hardware — BASELINE.md round-1 table); set
-    TPUSPARSE_CHOL_ENGINE=tiled for the fixed-tile engine.  Planning
-    errors fall back to the tiled engine before failing.
+    fastest on hardware — BASELINE.md round-1 table); pass
+    ``engine="tiled"`` (or set TPUSPARSE_CHOL_ENGINE=tiled) for the
+    fixed-tile engine.  A supernodal planner crash logs a warning and
+    falls back to the tiled engine before failing.
     """
-    import os
     if A.m != A.n or A.m != len(b):
         return False, None
-    engine = os.environ.get("TPUSPARSE_CHOL_ENGINE", "supernodal")
+    if engine is None:
+        engine = os.environ.get("TPUSPARSE_CHOL_ENGINE", "supernodal")
     F = None
     if engine != "tiled":
         try:
             from .supernodal import SupernodalCholesky
             F = SupernodalCholesky(A, order=order if order else 1)
-        except Exception:
+        except (ValueError, IndexError, KeyError, TypeError,
+                MemoryError, RuntimeError) as exc:
+            _log_fallback("supernodal", exc, "tiled")
             F = None
     if F is None:
         try:
             F = TpuCholesky(A, order=order)
-        except Exception:
+        except (ValueError, IndexError, KeyError, TypeError,
+                MemoryError, RuntimeError) as exc:
+            _log_fallback("tiled", exc, "ok=False")
             return False, None
     if not F.factor():
         return False, None
@@ -58,7 +79,9 @@ def lusol(order: int, A: CSCMatrix, b: np.ndarray, tol: float = 1.0):
         return False, None
     try:
         F = TpuLU(A, order=order)
-    except Exception:
+    except (ValueError, IndexError, KeyError, TypeError,
+            MemoryError, RuntimeError) as exc:
+        _log_fallback("lu", exc, "ok=False")
         return False, None
     if not F.factor():
         return False, None
@@ -89,5 +112,7 @@ def qrsol(order: int, A: CSCMatrix, b: np.ndarray):
 
             x = refine(A, solve_f32, b, iters=2)
             return True, x
-    except Exception:
+    except (ValueError, IndexError, KeyError, TypeError,
+            MemoryError, RuntimeError) as exc:
+        _log_fallback("qr", exc, "ok=False")
         return False, None

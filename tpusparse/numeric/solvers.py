@@ -53,6 +53,8 @@ def lusol(order: int, A: CSCMatrix, b: np.ndarray, tol: float = 1.0):
     x = ipvec(N.pinv, np.asarray(b, dtype=np.float64))   # apply pivot perm
     x = lsolve(N.L, x)
     x = usolve(N.U, x)
+    if x is None:
+        return False, None                      # zero pivot in U
     x = ipvec(S.q, x)                           # undo column perm
     return True, x
 
@@ -76,6 +78,8 @@ def qrsol(order: int, A: CSCMatrix, b: np.ndarray):
         for k in range(n):                      # apply Householder refl.
             happly(N.L, k, N.B[k], x)
         x = usolve(N.U, x)                      # x = R \ x
+        if x is None:
+            return False, None                  # rank-deficient R
         sol = ipvec(S.q, x[:n])                 # undo column perm
         return True, sol
     else:
@@ -87,6 +91,8 @@ def qrsol(order: int, A: CSCMatrix, b: np.ndarray):
         x = np.zeros(S.m2, dtype=np.float64)
         x[:m] = pvec(S.q, b)                    # x = b(q)
         xt = utsolve(N.U, x)                    # x(0:m-1) = R' \ x(0:m-1)
+        if xt is None:
+            return False, None                  # rank-deficient R
         for k in range(m - 1, -1, -1):          # apply reflections in reverse
             happly(N.L, k, N.B[k], xt)
         sol = pvec(S.pinv, xt)[:n]

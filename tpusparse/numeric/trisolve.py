@@ -45,29 +45,43 @@ def ltsolve(L: CSCMatrix, b: np.ndarray) -> np.ndarray:
     return x
 
 
-def usolve(U: CSCMatrix, b: np.ndarray) -> np.ndarray:
+def usolve(U: CSCMatrix, b: np.ndarray):
     """x = U \\ b, U upper triangular (diagonal last per column).
 
     The RHS may be longer than n (QR's m2-padded workspace); only the
     first n entries participate, matching the reference.
+
+    Returns None on a zero / non-finite / structurally-missing pivot
+    (rank-deficient R from QR reaches this path directly — lu() already
+    flags singularity itself); callers surface ok=False.
     """
     x = np.array(b, dtype=np.float64, copy=True)
     Up, Ui, Ux = U.indptr, U.indices, U.data
     for j in range(U.n - 1, -1, -1):
         lo, hi = Up[j], Up[j + 1]
-        x[j] /= Ux[hi - 1]
+        if hi <= lo or Ui[hi - 1] != j:
+            return None                        # structurally singular
+        piv = Ux[hi - 1]
+        if piv == 0.0 or not np.isfinite(piv):
+            return None
+        x[j] /= piv
         x[Ui[lo:hi - 1]] -= Ux[lo:hi - 1] * x[j]
     return x
 
 
-def utsolve(U: CSCMatrix, b: np.ndarray) -> np.ndarray:
-    """x = U' \\ b."""
+def utsolve(U: CSCMatrix, b: np.ndarray):
+    """x = U' \\ b.  Returns None on a zero/non-finite pivot (see usolve)."""
     x = np.array(b, dtype=np.float64, copy=True)
     Up, Ui, Ux = U.indptr, U.indices, U.data
     for j in range(U.n):
         lo, hi = Up[j], Up[j + 1]
+        if hi <= lo or Ui[hi - 1] != j:
+            return None
+        piv = Ux[hi - 1]
+        if piv == 0.0 or not np.isfinite(piv):
+            return None
         x[j] -= Ux[lo:hi - 1] @ x[Ui[lo:hi - 1]]
-        x[j] /= Ux[hi - 1]
+        x[j] /= piv
     return x
 
 
