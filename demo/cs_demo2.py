@@ -8,7 +8,8 @@ Usage: python cs_demo2.py data/<matrix> [--tpu] [--engine ENG]
 --engine host        : host f64 engine (default without --tpu)
 --engine tpu         : device engines, default Cholesky (supernodal)
 --engine tiled       : device engines, fixed-tile Cholesky
---engine supernodal  : device engines, supernodal Cholesky
+--engine supernodal  : device engines, level-unrolled supernodal Cholesky
+--engine superscan   : device engines, scan-ified supernodal Cholesky
 """
 
 import os
@@ -53,13 +54,13 @@ def main():
         del args[i:i + 2]
         if choice == "host":
             want_device = False
-        elif choice in ("tpu", "tiled", "supernodal"):
+        elif choice in ("tpu", "tiled", "supernodal", "superscan"):
             want_device = True
             if choice != "tpu":
                 os.environ["TPUSPARSE_CHOL_ENGINE"] = choice
         else:
             print(f"cs_demo2: unknown engine '{choice}' "
-                  "(host|tpu|tiled|supernodal)", file=sys.stderr)
+                  "(host|tpu|tiled|supernodal|superscan)", file=sys.stderr)
             return 1
     if want_device:
         from tpusparse.device import solvers as engine

@@ -1,0 +1,130 @@
+"""Scan-ified supernodal engine (tpusparse.device.superscan): correctness
+vs the dense oracle and the host f64 engine, schedule invariants, and
+failure contracts.  Reference semantics: csparse::cs_chol / cs_cholsol
+(SURVEY.md §2.2)."""
+
+import numpy as np
+import pytest
+
+from tpusparse.core import CSCMatrix, csc_from_dense
+from tpusparse.device.superscan import SuperscanCholesky, plan_superscan
+from helpers import resid
+
+
+def _spd(rng, n, dens=0.25):
+    d = rng.normal(size=(n, n)) * (rng.random((n, n)) < dens)
+    d = d @ d.T + n * np.eye(n)
+    return d, csc_from_dense(d)
+
+
+def test_small_spd_solve(rng):
+    d, A = _spd(rng, 40)
+    F = SuperscanCholesky(A, order=1, wmax=16, tau=0.9, small_w=4)
+    assert F.factor()
+    b = rng.normal(size=40)
+    x = F.solve(b)
+    assert resid(d, x, b) < 1e-12
+
+
+@pytest.mark.parametrize("order", [0, 1])
+@pytest.mark.parametrize("n,dens", [(25, 0.5), (90, 0.15), (180, 0.05)])
+def test_fuzz_sizes_orders(rng, order, n, dens):
+    d, A = _spd(rng, n, dens)
+    F = SuperscanCholesky(A, order=order, wmax=16, tau=0.9, small_w=4)
+    assert F.factor()
+    b = rng.normal(size=n)
+    x = F.solve(b)
+    assert resid(d, x, b) < 1e-12
+
+
+def test_band_matrix(rng):
+    # banded SPD: long thin elimination tree — the chain regime the
+    # scan engine exists for (levels >> segments)
+    n = 400
+    d = np.zeros((n, n))
+    for k in range(4):
+        v = rng.normal(size=n - k)
+        d[np.arange(n - k), np.arange(k, n)] += v
+        d[np.arange(k, n), np.arange(n - k)] += v
+    d = d @ d.T + 10 * n * np.eye(n)
+    A = csc_from_dense(d)
+    F = SuperscanCholesky(A, order=0, wmax=16, tau=0.9, small_w=4,
+                          max_segments=6)
+    p = F.plan
+    assert p.nlevels > 3 * len(p.segments)     # program << tree depth
+    assert F.factor()
+    b = rng.normal(size=n)
+    x = F.solve(b)
+    assert resid(d, x, b) < 1e-12
+
+
+def test_matches_host_engine(rng):
+    from tpusparse.numeric import cholsol
+    d, A = _spd(rng, 60, 0.2)
+    b = rng.normal(size=60)
+    ok, xh = cholsol(1, A, b.copy())
+    assert ok
+    F = SuperscanCholesky(A, order=1, wmax=16)
+    assert F.factor()
+    xd = F.solve(b)
+    assert np.allclose(xh, xd, atol=1e-9)
+
+
+def test_not_positive_definite(rng):
+    d = np.eye(8)
+    d[4, 4] = -1.0
+    A = csc_from_dense(d + 0.01 * np.ones((8, 8)))
+    F = SuperscanCholesky(A, order=0, wmax=8)
+    assert F.factor() is False
+    with pytest.raises(ValueError):
+        F.solve(np.ones(8))
+
+
+def test_plan_invariants(rng):
+    d, A = _spd(rng, 120, 0.1)
+    p = plan_superscan(A, order=1, wmax=16, tau=0.9, small_w=4)
+    # segments partition the level axis
+    assert p.segments[0].lo == 0
+    assert p.segments[-1].hi == p.nlevels
+    for a, b2 in zip(p.segments, p.segments[1:]):
+        assert a.hi == b2.lo
+    # flop accounting: issued >= true, waste in [0, 1)
+    assert p.flops_padded >= p.flops_true > 0
+    assert 0.0 <= p.waste_ratio < 1.0
+    # every panel's columns are covered exactly once
+    cov = np.zeros(120, dtype=int)
+    for pl in p.panels:
+        cov[pl.c0:pl.c0 + pl.w] += 1
+    assert np.all(cov == 1)
+
+
+def test_waste_beats_level_engine_default(rng):
+    """The redesign's reason to exist: on a 3D-grid-like problem the
+    scan engine's issued-flop waste must beat the r1 level engine's
+    0.93 by a wide margin (VERDICT r1 item 2 says <= 0.5; small test
+    problems are noisier than the bench, so assert 0.75 here)."""
+    import scipy.sparse as sp
+    g = 12
+    n = g ** 3
+    ex = -np.ones(n - 1); ex[np.arange(1, n) % g == 0] = 0
+    ey = -np.ones(n - g); ey[((np.arange(g, n) // g) % g) == 0] = 0
+    ez = -np.ones(n - g * g)
+    S = sp.diags([7.0 * np.ones(n), ex, ex, ey, ey, ez, ez],
+                 [0, 1, -1, g, -g, g * g, -g * g], format="csc")
+    S.sort_indices()
+    A = CSCMatrix(n, n, S.indptr, S.indices, S.data)
+    p = plan_superscan(A, order=1, max_segments=24)
+    assert p.waste_ratio < 0.75
+    F = SuperscanCholesky(A, order=1, max_segments=24)
+    assert F.factor()
+    b = np.ones(n)
+    x = F.solve(b)
+    assert resid(S.toarray(), x, b) < 1e-12
+
+
+def test_metrics(rng):
+    d, A = _spd(rng, 50, 0.3)
+    F = SuperscanCholesky(A, order=1, wmax=16)
+    m = F.metrics().values
+    assert m["chol_engine"] == "superscan"
+    assert m["chol_panels"] > 0 and m["chol_segments"] >= 1

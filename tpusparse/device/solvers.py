@@ -51,7 +51,15 @@ def cholsol(order: int, A: CSCMatrix, b: np.ndarray, engine: str = None):
     if engine is None:
         engine = os.environ.get("TPUSPARSE_CHOL_ENGINE", "supernodal")
     F = None
-    if engine != "tiled":
+    if engine == "superscan":
+        try:
+            from .superscan import SuperscanCholesky
+            F = SuperscanCholesky(A, order=order if order else 1)
+        except (ValueError, IndexError, KeyError, TypeError,
+                MemoryError, RuntimeError) as exc:
+            _log_fallback("superscan", exc, "supernodal")
+            F = None
+    if F is None and engine != "tiled":
         try:
             from .supernodal import SupernodalCholesky
             F = SupernodalCholesky(A, order=order if order else 1)

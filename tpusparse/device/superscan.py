@@ -1,0 +1,879 @@
+"""Scan-ified supernodal Cholesky on TPU — program size bounded by
+SEGMENT x PHASE count, not elimination-tree depth.
+
+This is the round-2 redesign of the supernodal engine
+(tpusparse.device.supernodal) that removes its two structural limits
+(VERDICT r1 items 1 and 2):
+
+  * tree-depth-bound program size: the level-unrolled engine emits
+    O(levels x update-group-keys) HLO ops — compile-prohibitive at
+    n=262,144 (2,220 levels on the 2D Laplacian).  Here the numeric
+    factorization is a handful of ``lax.scan`` calls (one per level
+    SEGMENT) whose bodies are shape-generic and whose schedules arrive
+    as RUNTIME int32 arrays — the chol_tpu scan trick scaled up.
+  * issued-flop waste 0.93: update GEMMs were sized to the full target
+    panel.  Here every descendant->ancestor update is trimmed to its
+    live intersection rows, chopped into row chunks (H in {8,32,128}),
+    and runs in a GEMM phase sliced to its power-of-two width pair —
+    issued flops track true flops.
+
+Storage: TWO flat packed row pools (width 32 and 128), CHOLMOD-style —
+a panel of class width W holds W diagonal rows (identity-padded) plus
+its od rows (8-row padded), at pool width 32 if W <= 32 else 128.
+Unused columns are ZERO, which makes phase COARSENING free: a GEMM
+sliced to any width >= the true width computes the same update, so the
+planner can merge a rare (Wd, Ws) shape into a popular one instead of
+paying a one-slot-per-step floor for it.
+
+Reference semantics: csparse::cs_chol / cs_schol (SURVEY.md §2.2, §7.1
+stage 3); numerics f32 + Precision.HIGHEST with host-f64 iterative
+refinement, like every device engine here.
+
+Plan (host, once per pattern):
+  1. AMD + etree postorder; exact column patterns; fundamental
+     supernodes; relaxed amalgamation (tau, small_w); split to pow2
+     widths <= wmax; packed two-pool layout.
+  2. levels over the panel DAG (level(target) > level(source) for every
+     update pair).  STEPS = LEVELS: panels factor at their level's step.
+  3. work items:  chol(panel); TRSM od-row chunks; update units
+     (d->s): L1 rows = d's od rows >= s.c0 (chopped), L0 rows = d's od
+     rows inside s's columns, delta = L1 @ L0^T scatter-added into s.
+  4. dynamic-programming segmentation of the level axis (cost = exact
+     issued slots); per segment: greedy phase-menu coarsening, then
+     EDF assignment of update units to steps inside their dependency
+     window (release = source level + 1, deadline = target level).
+
+Device (per segment, one jit each, cached by shape signature):
+  lax.scan over the segment's levels; body = update phases
+  (where-masked row gathers, batched GEMM, row scatter-add) -> chol
+  phases (batched tril-symmetrized Cholesky) -> trsm phases (batched
+  triangular solves written in place).  The solve reuses the same
+  segments with diag-solve and od-axpy phases, forward then backward.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.matrix import CSCMatrix
+from ..core.ops import permute, symperm
+from ..core.perm import ipvec, pvec, pinv as _pinv
+from ..symbolic.amd import amd
+from ..symbolic.etree import counts, etree, post
+from .config import HIGHEST
+
+__all__ = ["SuperscanPlan", "plan_superscan", "SuperscanCholesky"]
+
+_IDX = np.int64
+H_CLASSES = (8, 16, 32, 64, 128)  # update/trsm row-chunk classes
+POOLS = (32, 128)                 # storage row widths
+
+
+def _pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+def _hclass(k: int) -> int:
+    for h in H_CLASSES:
+        if k <= h:
+            return h
+    return H_CLASSES[-1]
+
+
+def _poolw(W: int) -> int:
+    return POOLS[0] if W <= POOLS[0] else POOLS[1]
+
+
+def _split_widths(w: int, wmax: int) -> List[int]:
+    out = []
+    while w > 0:
+        c = min(_pow2(w) if _pow2(w) == w else _pow2(w) // 2, wmax)
+        c = min(c, w)
+        out.append(c)
+        w -= c
+    return out
+
+
+@dataclass
+class _Panel:
+    pid: int
+    c0: int
+    w: int                  # true width
+    W: int                  # class width (pow2 >= max(w, 8))
+    rows: np.ndarray        # od rows (global, sorted)
+    pool: int = 0           # storage pool width (32 or 128)
+    rbase: int = 0          # first row in the pool
+    rlen: int = 0           # padded row count (W + od padded to 8)
+    level: int = 0
+
+
+# phase keys
+#   ("chol", pool, W)            : batched W x W tril-chol
+#   ("trsm", pool, H, W)         : H od rows vs the W x W diag block
+#   ("upd",  pd, ps, H, Wd, Ws)  : (H,Wd) @ (Ws,Wd)^T from pool pd into ps,
+#                                  scatter-added as full-width rows
+#   ("upds", pd, ps, H, Wd, J)   : column-compressed variant for updates
+#                                  that touch few target columns: delta is
+#                                  (H,J) and lands via a 2-D element
+#                                  scatter at (row, col) pairs
+def _slot_flops(key: Tuple) -> int:
+    if key[0] == "chol":
+        return key[2] ** 3 // 3
+    if key[0] == "trsm":
+        return key[2] * key[3] * key[3]
+    _, pd, ps, h, wd, ws = key[:6]
+    return 2 * h * wd * ws
+
+
+@dataclass
+class _Segment:
+    lo: int                                     # first level (= step)
+    hi: int                                     # one past last level
+    xs: Dict[Tuple, Dict[str, np.ndarray]] = field(default_factory=dict)
+
+
+@dataclass
+class SuperscanPlan:
+    n: int
+    perm: np.ndarray
+    panels: List[_Panel]
+    pool_rows: Dict[int, int]               # pool width -> real rows
+    pool_init: Dict[int, np.ndarray]        # pool width -> (rows, pw) f32
+    segments: List[_Segment]
+    nlevels: int
+    flops_true: int
+    flops_padded: int
+    lnz: int
+
+    @property
+    def waste_ratio(self) -> float:
+        return 1.0 - self.flops_true / max(self.flops_padded, 1)
+
+
+def _symbolic(A: CSCMatrix, order: int):
+    """AMD + postorder composition and exact column patterns (shared
+    logic with the level-unrolled engine — csparse::cs_schol analog)."""
+    from .supernodal import _column_patterns
+    n = A.n
+    p = amd(order, A)
+    if p is None:
+        p = np.arange(n, dtype=_IDX)
+    piv = _pinv(p)
+    Cu0 = symperm(A, piv, values=False)
+    p = p[post(etree(Cu0))]
+    piv = _pinv(p)
+    Cu = symperm(A, piv, values=False)
+    parent = etree(Cu)
+    cnt = counts(Cu, parent, post(parent))
+    colptr, colrows = _column_patterns(Cu, parent, cnt)
+    return p, piv, parent, cnt, colptr, colrows
+
+
+def _build_panels(n, parent, cnt, colptr, colrows, wmax, tau, small_w):
+    """Fundamental supernodes -> relaxed amalgamation -> pow2 splits."""
+    starts = [0]
+    for j in range(n - 1):
+        if not (parent[j] == j + 1 and cnt[j + 1] == cnt[j] - 1):
+            starts.append(j + 1)
+    starts.append(n)
+    groups = []
+    for i in range(len(starts) - 1):
+        c0, c1 = starts[i], starts[i + 1]
+        rows_full = colrows[colptr[c0]:colptr[c0 + 1]]
+        od = rows_full[rows_full >= c1]
+        groups.append([c0, c1, np.asarray(od, _IDX), int(cnt[c0:c1].sum())])
+    merged = [groups[0]] if groups else []
+    for g in groups[1:]:
+        a = merged[-1]
+        w_m = g[1] - a[0]
+        if w_m <= wmax:
+            od_m = np.union1d(a[2], g[2])
+            od_m = od_m[od_m >= g[1]]
+            r_m = w_m + od_m.size
+            nnz_m = a[3] + g[3]
+            if nnz_m >= tau * max(r_m * w_m, 1) or w_m <= small_w:
+                merged[-1] = [a[0], g[1], od_m, nnz_m]
+                continue
+        merged.append(g)
+    panels: List[_Panel] = []
+    col2p = np.zeros(n, dtype=_IDX)
+    for c0, c1, od_rows, _nnz in merged:
+        off = c0
+        for w in _split_widths(c1 - c0, wmax):
+            rest = np.arange(off + w, c1, dtype=_IDX)
+            rows = np.concatenate([rest, od_rows])
+            pid = len(panels)
+            W = max(_pow2(w), 8)
+            panels.append(_Panel(pid=pid, c0=off, w=w, W=W,
+                                 pool=_poolw(W),
+                                 rows=np.asarray(rows, _IDX)))
+            col2p[off:off + w] = pid
+            off += w
+    return panels, col2p
+
+
+def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = 128,
+                   tau: float = 0.9, small_w: int = 8,
+                   max_segments: int = 10) -> SuperscanPlan:
+    n = A.n
+    p, piv, parent, cnt, colptr, colrows = _symbolic(A, order)
+    panels, col2p = _build_panels(n, parent, cnt, colptr, colrows,
+                                  wmax, tau, small_w)
+
+    # ---- storage layout: packed rows, two pools ---------------------------
+    pool_rows = {pw: 0 for pw in POOLS}
+    for pl in panels:
+        pl.rlen = pl.W + (-(-pl.rows.size // 8) * 8)
+        pl.rbase = pool_rows[pl.pool]
+        pool_rows[pl.pool] += pl.rlen
+    # pool = [real rows][identity 128/32 rows][dump 128 rows]
+    id_base = {pw: pool_rows[pw] for pw in POOLS}
+    dump_base = {pw: pool_rows[pw] + pw for pw in POOLS}
+    pool_init = {}
+    for pw in POOLS:
+        buf = np.zeros((pool_rows[pw] + pw + H_CLASSES[-1], pw),
+                       np.float32)
+        buf[id_base[pw]:id_base[pw] + pw] = np.eye(pw, dtype=np.float32)
+        pool_init[pw] = buf
+    for pl in panels:                 # identity pad for width-padded diag
+        for t in range(pl.w, pl.W):
+            pool_init[pl.pool][pl.rbase + t, t] = 1.0
+
+    # scatter the permuted lower triangle of A into the panels
+    C = permute(A, piv, p, values=True)
+    Cp, Ci, Cx = C.indptr, C.indices, C.data
+    cols_of = np.repeat(np.arange(n, dtype=_IDX), np.diff(Cp))
+    keep = Ci >= cols_of
+    ent_i, ent_j, ent_x = Ci[keep], cols_of[keep], Cx[keep]
+    ent_p = col2p[ent_j]
+    order_e = np.argsort(ent_p, kind="stable")
+    ent_i, ent_j, ent_x, ent_p = (ent_i[order_e], ent_j[order_e],
+                                  ent_x[order_e], ent_p[order_e])
+    bounds = np.searchsorted(ent_p, np.arange(len(panels) + 1))
+    for pl in panels:
+        lo, hi = bounds[pl.pid], bounds[pl.pid + 1]
+        if lo == hi:
+            continue
+        ii, jj, xx = ent_i[lo:hi], ent_j[lo:hi], ent_x[lo:hi]
+        lc = jj - pl.c0
+        q = np.where(ii < pl.c0 + pl.w, ii - pl.c0,
+                     pl.W + np.searchsorted(pl.rows, ii))
+        pool_init[pl.pool][pl.rbase + q, lc] = xx
+
+    # ---- levels + work items ----------------------------------------------
+    level = np.zeros(len(panels), dtype=_IDX)
+    pair_list = []
+    for d in panels:
+        if d.rows.size == 0:
+            continue
+        tgt = col2p[d.rows]
+        odpos = np.arange(d.rows.size, dtype=_IDX)
+        for t in np.unique(tgt):
+            s = panels[int(t)]
+            sel = tgt == t
+            l0_cols = d.rows[sel] - s.c0
+            l0_src = d.W + odpos[sel]
+            gesel = d.rows >= s.c0
+            ge_rows = d.rows[gesel]
+            ge_src = d.W + odpos[gesel]
+            in_diag = ge_rows < s.c0 + s.w
+            pos = np.searchsorted(s.rows, ge_rows)
+            found = np.zeros(ge_rows.size, dtype=bool)
+            inb = pos < s.rows.size
+            found[inb] = s.rows[pos[inb]] == ge_rows[inb]
+            ok = in_diag | found
+            I_tgt = np.where(in_diag, ge_rows - s.c0, s.W + pos)[ok]
+            I_src = ge_src[ok]
+            pair_list.append((d.pid, s.pid, I_src, I_tgt,
+                              l0_src, l0_cols))
+            level[s.pid] = max(level[s.pid], level[d.pid] + 1)
+    nlevels = int(level.max()) + 1 if panels else 0
+    for pl in panels:
+        pl.level = int(level[pl.pid])
+
+    # chol items per (level, pool, W); trsm units per (level, key);
+    # update units: list of dicts with release/deadline for EDF
+    chol_items: Dict[Tuple, List] = {}
+    trsm_items: Dict[Tuple, List] = {}
+    upd_units: List[dict] = []
+    for pl in panels:
+        chol_items.setdefault((pl.level, ("chol", pl.pool, pl.W)),
+                              []).append(pl.rbase)
+        off = 0
+        while off < pl.rows.size:
+            h = _hclass(min(pl.rows.size - off, H_CLASSES[-1]))
+            m = min(h, pl.rows.size - off)
+            rows_q = np.full(h, -1, _IDX)
+            rows_q[:m] = pl.rbase + pl.W + off + np.arange(m)
+            trsm_items.setdefault(
+                (pl.level, ("trsm", pl.pool, h, pl.W)), []).append(
+                    (pl.pid, rows_q))
+            off += m
+
+    for (dpid, spid, I_src, I_tgt, l0_src, l0_cols) in pair_list:
+        d, s = panels[dpid], panels[spid]
+        wd = max(_pow2(d.w), 8)
+        ws = max(_pow2(s.w), 8)
+        # column-compressed ("upds") when the live target columns are
+        # sparse: >=4x fewer GEMM flops buys the 2-D element scatter
+        J = l0_cols.size
+        Jp = max(_pow2(J), 8)
+        sparse_cols = Jp * 4 <= ws and Jp <= 32
+        if sparse_cols:
+            l0_c = np.full(Jp, -1, _IDX)
+            cmap = np.zeros(Jp, _IDX)
+            l0_c[:J] = d.rbase + l0_src
+            cmap[:J] = l0_cols
+            key = ("upds", d.pool, s.pool, None, wd, Jp)
+            extra = dict(l0=l0_c, cmap=cmap)
+        else:
+            l0_full = np.full(ws, -1, _IDX)
+            l0_full[l0_cols] = d.rbase + l0_src
+            key = ("upd", d.pool, s.pool, None, wd, ws)
+            extra = dict(l0=l0_full)
+        off = 0
+        K = I_src.size
+        while off < K:
+            h = _hclass(min(K - off, H_CLASSES[-1]))
+            m = min(h, K - off)
+            src = np.full(h, -1, _IDX)
+            tg = np.full(h, -1, _IDX)
+            src[:m] = d.rbase + I_src[off:off + m]
+            tg[:m] = s.rbase + I_tgt[off:off + m]
+            upd_units.append(dict(
+                key=(key[0], key[1], key[2], h, key[4], key[5]),
+                src=src, tgt=tg,
+                rel=int(level[dpid]) + 1, dl=int(level[spid]),
+                **extra))
+            off += m
+
+    # ---- segmentation (DP over the level axis) -----------------------------
+    # fine per-level, per-phase counts
+    fine_keys = sorted({k for (_, k) in chol_items}
+                       | {k for (_, k) in trsm_items}
+                       | {u["key"] for u in upd_units})
+    kidx = {k: i for i, k in enumerate(fine_keys)}
+    CL = np.zeros((max(nlevels, 1), len(fine_keys)), dtype=np.int64)
+    for (L, k), v in chol_items.items():
+        CL[L, kidx[k]] += len(v)
+    for (L, k), v in trsm_items.items():
+        CL[L, kidx[k]] += len(v)
+    for u in upd_units:
+        CL[u["dl"], kidx[u["key"]]] += 1
+    slotf = np.array([_slot_flops(k) for k in fine_keys], np.float64)
+    is_upd = np.array([k[0] in ("upd", "upds") for k in fine_keys])
+    Pfx = np.vstack([np.zeros(len(fine_keys)), np.cumsum(CL, axis=0)])
+
+    # candidate boundaries (strided for big level counts)
+    stride = max(1, nlevels // 192)
+    cands = list(range(0, nlevels, stride)) + [nlevels]
+    cands = sorted(set(cands))
+    B = len(cands)
+    # strided per-block max for chol/trsm capacity cost
+    blkmax = np.zeros((B - 1, len(fine_keys)), dtype=np.int64)
+    for bi in range(B - 1):
+        blkmax[bi] = CL[cands[bi]:cands[bi + 1]].max(axis=0)
+
+    def seg_cost(bi, bj):
+        """Exact issued-slot flops for segment [cands[bi], cands[bj])."""
+        steps = cands[bj] - cands[bi]
+        N = Pfx[cands[bj]] - Pfx[cands[bi]]
+        cost = 0.0
+        # upd: U = ceil(N/steps) -> issued = U*steps
+        Uu = np.ceil(N[is_upd] / steps)
+        cost += float((Uu * steps * slotf[is_upd]).sum())
+        # chol/trsm: U = max per level in segment
+        mx = blkmax[bi:bj].max(axis=0)
+        cost += float((mx[~is_upd] * steps * slotf[~is_upd]).sum())
+        return cost
+
+    # DP with at most max_segments segments
+    INF = float("inf")
+    dp = np.full((B, max_segments + 1), INF)
+    back = np.full((B, max_segments + 1), -1, np.int64)
+    dp[0, 0] = 0.0
+    for j in range(1, B):
+        for i in range(j):
+            c = seg_cost(i, j)
+            for s in range(1, max_segments + 1):
+                v = dp[i, s - 1] + c
+                if v < dp[j, s]:
+                    dp[j, s] = v
+                    back[j, s] = i
+    sbest = int(np.argmin(dp[B - 1]))
+    bnds = [B - 1]
+    while bnds[-1] > 0:
+        bnds.append(int(back[bnds[-1], sbest]))
+        sbest -= 1
+    bnds = [cands[b] for b in reversed(bnds)]
+
+    # ---- per segment: menu coarsening + EDF + emission ---------------------
+    segments: List[_Segment] = []
+    flops_padded = 0
+
+    def coarser(key):
+        """Upd phases this unit may run in (same kind/pools, >= dims)."""
+        kind, pd, ps, h, wd, ws = key
+        smax = 32 if kind == "upds" else ps
+        outs = []
+        for h2 in H_CLASSES:
+            if h2 < h:
+                continue
+            w2 = wd
+            while w2 <= pd:
+                s2 = ws
+                while s2 <= smax:
+                    outs.append((kind, pd, ps, h2, w2, s2))
+                    s2 *= 2
+                w2 *= 2
+        return outs
+
+    for si in range(len(bnds) - 1):
+        lo, hi = bnds[si], bnds[si + 1]
+        steps = hi - lo
+        seg = _Segment(lo=lo, hi=hi)
+        # units of this segment (deadline inside it)
+        units = [u for u in upd_units if lo <= u["dl"] < hi]
+        # --- greedy phase-menu coarsening --------------------------------
+        cnts: Dict[Tuple, int] = {}
+        for u in units:
+            cnts[u["key"]] = cnts.get(u["key"], 0) + 1
+        remap: Dict[Tuple, Tuple] = {k: k for k in cnts}
+
+        def issued(k, nn):
+            return np.ceil(nn / steps) * steps * _slot_flops(k)
+
+        changed = True
+        while changed:
+            changed = False
+            eff: Dict[Tuple, int] = {}
+            for k, nn in cnts.items():
+                eff[remap[k]] = eff.get(remap[k], 0) + nn
+            for k in sorted(cnts, key=lambda k: cnts[k]):
+                cur = remap[k]
+                nk = cnts[k]
+                best, bestgain = cur, 0.0
+                for q in coarser(cur):
+                    if q == cur or q not in eff:
+                        continue
+                    gain = (issued(cur, eff[cur])
+                            + issued(q, eff[q])
+                            - issued(cur, eff[cur] - nk)
+                            - issued(q, eff[q] + nk))
+                    if gain > bestgain:
+                        best, bestgain = q, gain
+                if best != cur:
+                    eff[cur] -= nk
+                    if eff[cur] == 0:
+                        del eff[cur]
+                    eff[best] = eff.get(best, 0) + nk
+                    remap[k] = best
+                    changed = True
+        # --- EDF assignment of units to steps -----------------------------
+        by_phase: Dict[Tuple, List] = {}
+        for u in units:
+            by_phase.setdefault(remap[u["key"]], []).append(u)
+        assign: Dict[Tuple, List[List]] = {}
+        caps: Dict[Tuple, int] = {}
+        for k, us in by_phase.items():
+            us.sort(key=lambda u: u["dl"])
+            # lower bound on capacity from deadline demand (vectorized)
+            dls = np.array([u["dl"] for u in us])
+            demand = np.cumsum(np.bincount(dls - lo, minlength=steps))
+            U = max(1, int(np.ceil(demand / np.arange(1, steps + 1))
+                           .max()))
+            while True:
+                # earliest-feasible placement via union-find "next free
+                # step >= t" with path compression (EDF greedy)
+                nxt = np.arange(steps + 1, dtype=np.int64)
+                fill = np.zeros(steps, dtype=np.int64)
+                slots = [[] for _ in range(steps)]
+
+                def find(t):
+                    root = t
+                    while nxt[root] != root:
+                        root = nxt[root]
+                    while nxt[t] != root:
+                        nxt[t], t = root, nxt[t]
+                    return root
+
+                okall = True
+                for u in us:
+                    t0 = max(u["rel"], lo) - lo
+                    t = find(t0)
+                    if t > u["dl"] - lo:
+                        okall = False
+                        break
+                    slots[t].append(u)
+                    fill[t] += 1
+                    if fill[t] == U:
+                        nxt[t] = t + 1
+                if okall:
+                    break
+                U += max(1, U // 4)
+            assign[k] = slots
+            caps[k] = U
+        # --- emit xs -------------------------------------------------------
+        for k, slots in assign.items():
+            U = caps[k]
+            kind, pd, ps, H, Wd, Ws = k
+            src = np.full((steps, U, H), -1, np.int32)
+            tg = np.full((steps, U, H), -1, np.int32)
+            l0 = np.full((steps, U, Ws), -1, np.int32)
+            cmap = (np.zeros((steps, U, Ws), np.int32)
+                    if kind == "upds" else None)
+            for t, lst in enumerate(slots):
+                for ui, u in enumerate(lst):
+                    hh = u["src"].shape[0]
+                    src[t, ui, :hh] = u["src"]
+                    tg[t, ui, :hh] = u["tgt"]
+                    ww = u["l0"].shape[0]
+                    l0[t, ui, :ww] = u["l0"]
+                    if kind == "upds":
+                        cmap[t, ui, :ww] = u["cmap"]
+            seg.xs[k] = {"src": src, "tgt": tg, "l0": l0}
+            if cmap is not None:
+                seg.xs[k]["cmap"] = cmap
+            flops_padded += steps * U * _slot_flops(k)
+        # chol / trsm phases: capacity = max per level
+        ck = {k for (L, k) in chol_items if lo <= L < hi}
+        for k in sorted(ck):
+            _, pw, W = k
+            U = max(len(chol_items.get((L, k), []))
+                    for L in range(lo, hi))
+            arr = np.full((steps, U), id_base[pw], np.int32)
+            for L in range(lo, hi):
+                for ui, rb in enumerate(chol_items.get((L, k), [])):
+                    arr[L - lo, ui] = rb
+            seg.xs[k] = {"dbase": arr}
+            flops_padded += steps * U * _slot_flops(k)
+        tk = {k for (L, k) in trsm_items if lo <= L < hi}
+        for k in sorted(tk):
+            _, pw, H, W = k
+            U = max(len(trsm_items.get((L, k), []))
+                    for L in range(lo, hi))
+            rows = np.full((steps, U, H), dump_base[pw], np.int32)
+            dbs = np.full((steps, U), id_base[pw], np.int32)
+            for L in range(lo, hi):
+                for ui, (pid, rq) in enumerate(trsm_items.get((L, k), [])):
+                    pl = panels[pid]
+                    rows[L - lo, ui] = np.where(
+                        rq >= 0, rq, dump_base[pw] + np.arange(H) % 8)
+                    dbs[L - lo, ui] = pl.rbase
+            seg.xs[k] = {"rows": rows, "dbase": dbs}
+            flops_padded += steps * U * _slot_flops(k)
+        segments.append(seg)
+
+    lnz = int(cnt.sum())
+    flops_true = int(np.sum(cnt.astype(np.float64) ** 2))
+    return SuperscanPlan(
+        n=n, perm=p, panels=panels, pool_rows=pool_rows,
+        pool_init=pool_init, segments=segments, nlevels=nlevels,
+        flops_true=flops_true, flops_padded=flops_padded, lnz=lnz)
+
+
+# ------------------------------------------------------------------ device
+_JIT_CACHE: Dict = {}
+
+
+def _segment_factor(seg_keys: Tuple) -> callable:
+    """Shape-generic scan body for one segment: the phase list is
+    static; every index array is a runtime input, so the compiled
+    program is reused across matrices with the same signature."""
+
+    def run(pools: Dict[int, jnp.ndarray], xs: Dict):
+        def body(pools, x):
+            pools = dict(pools)
+            for key in seg_keys:                       # 1. update phases
+                if key[0] not in ("upd", "upds"):
+                    continue
+                kind, pd, ps, H, Wd, Ws = key
+                a = x[key]
+                srci, tgti, l0i = a["src"], a["tgt"], a["l0"]
+                flat_d = jax.lax.slice_in_dim(pools[pd], 0, Wd, axis=1)
+                l1 = jnp.where((srci >= 0)[..., None],
+                               flat_d[jnp.maximum(srci, 0)], 0.0)
+                l0 = jnp.where((l0i >= 0)[..., None],
+                               flat_d[jnp.maximum(l0i, 0)], 0.0)
+                delta = jnp.einsum("uhw,usw->uhs", l1, l0,
+                                   precision=HIGHEST)
+                if kind == "upds":
+                    # column-compressed: 2-D element scatter at
+                    # (target row, target col) pairs
+                    rowi = jnp.maximum(tgti, 0)[:, :, None]   # (U,H,1)
+                    coli = a["cmap"][:, None, :]              # (U,1,Ws)
+                    pools[ps] = pools[ps].at[
+                        jnp.broadcast_to(rowi, delta.shape),
+                        jnp.broadcast_to(coli, delta.shape)].add(-delta)
+                else:
+                    if Ws < pools[ps].shape[1]:
+                        delta = jnp.pad(
+                            delta, ((0, 0), (0, 0),
+                                    (0, pools[ps].shape[1] - Ws)))
+                    tgts = jnp.maximum(tgti, 0).reshape(-1)
+                    pools[ps] = pools[ps].at[tgts].add(
+                        -delta.reshape(-1, pools[ps].shape[1]))
+            for key in seg_keys:                       # 2. chol phases
+                if key[0] != "chol":
+                    continue
+                _, pw, W = key
+                dbase = x[key]["dbase"]                      # (U,)
+                idx = dbase[:, None] + jnp.arange(W)[None, :]
+                P = jax.lax.slice_in_dim(pools[pw], 0, W, axis=1)[idx]
+                low = jnp.tril(P)
+                sym = low + jnp.swapaxes(jnp.tril(P, -1), 1, 2)
+                Lkk = jnp.linalg.cholesky(sym)
+                if W < pools[pw].shape[1]:
+                    Lkk = jnp.pad(
+                        Lkk, ((0, 0), (0, 0),
+                              (0, pools[pw].shape[1] - W)))
+                pools[pw] = pools[pw].at[idx.reshape(-1)].set(
+                    Lkk.reshape(-1, pools[pw].shape[1]))
+            for key in seg_keys:                       # 3. trsm phases
+                if key[0] != "trsm":
+                    continue
+                _, pw, H, W = key
+                a = x[key]
+                rows, dbs = a["rows"], a["dbase"]            # (U,H),(U,)
+                didx = dbs[:, None] + jnp.arange(W)[None, :]
+                sl = jax.lax.slice_in_dim(pools[pw], 0, W, axis=1)
+                Lkk = sl[didx]                               # (U, W, W)
+                X = sl[rows]                                 # (U, H, W)
+                Y = jax.lax.linalg.triangular_solve(
+                    Lkk, X, left_side=False, lower=True, transpose_a=True)
+                if W < pools[pw].shape[1]:
+                    Y = jnp.pad(
+                        Y, ((0, 0), (0, 0),
+                            (0, pools[pw].shape[1] - W)))
+                    # keep stored zero columns zero: pad cols of od rows
+                    # are zero already, and Y pad cols are zero here
+                pools[pw] = pools[pw].at[rows.reshape(-1)].set(
+                    Y.reshape(-1, pools[pw].shape[1]))
+            return pools, None
+
+        pools, _ = jax.lax.scan(body, pools, xs)
+        return pools
+
+    return run
+
+
+def _factor(plan: SuperscanPlan, pools):
+    for seg in plan.segments:
+        keys = tuple(sorted(seg.xs))
+        sig = ("factor",) + tuple(
+            (k,) + tuple(a.shape) for k in keys
+            for a in seg.xs[k].values())
+        if sig not in _JIT_CACHE:
+            _JIT_CACHE[sig] = jax.jit(_segment_factor(keys))
+        xs = {k: {nm: jnp.asarray(a) for nm, a in seg.xs[k].items()}
+              for k in keys}
+        pools = _JIT_CACHE[sig](pools, xs)
+    return pools
+
+
+# ------------------------------------------------------------------ solve
+def _solve_xs(plan: SuperscanPlan):
+    """Per-segment solve schedules derived from the factor schedules:
+    diag phase (cols + pool diag rows) per chol slot; od-axpy phase
+    (pool rows, panel cols, global target rows) per trsm slot."""
+    n = plan.n
+    rbase2pid = {(pl.pool, pl.rbase): pl.pid for pl in plan.panels}
+    out = []
+    for seg in plan.segments:
+        nst = seg.hi - seg.lo
+        seg_xs = {}
+        for key, arrs in seg.xs.items():
+            if key[0] == "chol":
+                _, pw, W = key
+                d = arrs["dbase"]
+                U = d.shape[1]
+                cols = np.full((nst, U, W), n, np.int32)
+                for t in range(nst):
+                    for u in range(U):
+                        pid = rbase2pid.get((pw, int(d[t, u])))
+                        if pid is None:
+                            continue
+                        pl = plan.panels[pid]
+                        cols[t, u, :pl.w] = np.arange(pl.c0,
+                                                      pl.c0 + pl.w)
+                seg_xs[key] = {"dbase": d, "cols": cols}
+            elif key[0] == "trsm":
+                _, pw, H, W = key
+                d, rows = arrs["dbase"], arrs["rows"]
+                U = d.shape[1]
+                cols = np.full((nst, U, W), n, np.int32)
+                tgt = np.full((nst, U, H), n, np.int32)
+                for t in range(nst):
+                    for u in range(U):
+                        pid = rbase2pid.get((pw, int(d[t, u])))
+                        if pid is None:
+                            continue
+                        pl = plan.panels[pid]
+                        cols[t, u, :pl.w] = np.arange(pl.c0,
+                                                      pl.c0 + pl.w)
+                        rq = (rows[t, u].astype(np.int64)
+                              - pl.rbase - pl.W)
+                        valid = (rq >= 0) & (rq < pl.rows.size)
+                        g = np.full(H, n, np.int32)
+                        g[valid] = pl.rows[rq[valid]]
+                        tgt[t, u] = g
+                seg_xs[key] = {"rows": rows, "cols": cols, "tgt": tgt}
+        out.append(seg_xs)
+    return out
+
+
+def _segment_solve(seg_keys: Tuple, backward: bool) -> callable:
+    def run(pools, xpad, xs):
+        dump = None
+
+        def body(xpad, x):
+            nn = xpad.shape[0] - 1
+            if not backward:
+                for key in seg_keys:
+                    if key[0] != "chol":
+                        continue
+                    _, pw, W = key
+                    dbase, cols = x[key]["dbase"], x[key]["cols"]
+                    idx = dbase[:, None] + jnp.arange(W)[None, :]
+                    Lkk = jax.lax.slice_in_dim(pools[pw], 0, W,
+                                               axis=1)[idx]
+                    xc = xpad[cols]
+                    y = jax.lax.linalg.triangular_solve(
+                        Lkk, xc[:, :, None], left_side=True,
+                        lower=True)[:, :, 0]
+                    xpad = xpad.at[cols.reshape(-1)].set(y.reshape(-1))
+                for key in seg_keys:
+                    if key[0] != "trsm":
+                        continue
+                    _, pw, H, W = key
+                    a = x[key]
+                    sl = jax.lax.slice_in_dim(pools[pw], 0, W, axis=1)
+                    mask = a["tgt"] < nn
+                    Y = jnp.where(mask[..., None], sl[a["rows"]], 0.0)
+                    xc = xpad[a["cols"]]                     # (U,W)
+                    delta = jnp.einsum("uhw,uw->uh", Y, xc,
+                                       precision=HIGHEST)
+                    xpad = xpad.at[a["tgt"].reshape(-1)].add(
+                        -delta.reshape(-1))
+            else:
+                for key in seg_keys:
+                    if key[0] != "trsm":
+                        continue
+                    _, pw, H, W = key
+                    a = x[key]
+                    sl = jax.lax.slice_in_dim(pools[pw], 0, W, axis=1)
+                    mask = a["tgt"] < nn
+                    Y = jnp.where(mask[..., None], sl[a["rows"]], 0.0)
+                    xod = jnp.where(mask, xpad[a["tgt"]], 0.0)
+                    delta = jnp.einsum("uhw,uh->uw", Y, xod,
+                                       precision=HIGHEST)
+                    xpad = xpad.at[a["cols"].reshape(-1)].add(
+                        -delta.reshape(-1))
+                for key in seg_keys:
+                    if key[0] != "chol":
+                        continue
+                    _, pw, W = key
+                    dbase, cols = x[key]["dbase"], x[key]["cols"]
+                    idx = dbase[:, None] + jnp.arange(W)[None, :]
+                    Lkk = jax.lax.slice_in_dim(pools[pw], 0, W,
+                                               axis=1)[idx]
+                    xc = xpad[cols]
+                    y = jax.lax.linalg.triangular_solve(
+                        Lkk, xc[:, :, None], left_side=True, lower=True,
+                        transpose_a=True)[:, :, 0]
+                    xpad = xpad.at[cols.reshape(-1)].set(y.reshape(-1))
+            xpad = xpad.at[nn].set(0.0)
+            return xpad, None
+
+        xpad, _ = jax.lax.scan(body, xpad, xs, reverse=backward)
+        return xpad
+
+    return run
+
+
+class SuperscanCholesky:
+    """Plan + factor + solve driver (same contracts as TpuCholesky /
+    SupernodalCholesky): f32 device factor, f64 refined solves."""
+
+    def __init__(self, A: CSCMatrix, order: int = 1, wmax: int = 128,
+                 tau: float = 0.9, small_w: int = 8,
+                 max_segments: int = 10):
+        self.A = A
+        self.plan = plan_superscan(A, order=order, wmax=wmax, tau=tau,
+                                   small_w=small_w,
+                                   max_segments=max_segments)
+        self._solve_sched = None
+        self.pools = None
+
+    def factor(self) -> bool:
+        plan = self.plan
+        pools = {pw: jnp.asarray(v) for pw, v in plan.pool_init.items()}
+        pools = _factor(plan, pools)
+        ok = all(bool(jnp.all(jnp.isfinite(v[:plan.pool_rows[pw]])))
+                 for pw, v in pools.items())
+        if ok:
+            self.pools = pools
+        return ok
+
+    def _sched(self):
+        if self._solve_sched is None:
+            self._solve_sched = _solve_xs(self.plan)
+        return self._solve_sched
+
+    def _run_solve(self, xpad: jnp.ndarray) -> jnp.ndarray:
+        plan = self.plan
+        sched = self._sched()
+        for direction in ("solvef", "solveb"):
+            order = (range(len(plan.segments)) if direction == "solvef"
+                     else range(len(plan.segments) - 1, -1, -1))
+            for si in order:
+                seg = plan.segments[si]
+                keys = tuple(sorted(sched[si]))
+                if not keys:
+                    continue
+                sig = (direction,) + tuple(
+                    (k,) + tuple(a.shape) for k in keys
+                    for a in sched[si][k].values())
+                if sig not in _JIT_CACHE:
+                    _JIT_CACHE[sig] = jax.jit(_segment_solve(
+                        keys, direction == "solveb"))
+                xs = {k: {nm: jnp.asarray(a)
+                          for nm, a in sched[si][k].items()}
+                      for k in keys}
+                xpad = _JIT_CACHE[sig](self.pools, xpad, xs)
+        return xpad
+
+    def _solve_f32(self, b: np.ndarray) -> np.ndarray:
+        plan = self.plan
+        bp = pvec(plan.perm, np.asarray(b, np.float64))
+        xpad = np.zeros(plan.n + 1, dtype=np.float32)
+        xpad[:plan.n] = bp
+        out = self._run_solve(jnp.asarray(xpad))
+        xp = np.asarray(out, np.float64)[:plan.n]
+        return ipvec(plan.perm, xp)
+
+    def solve(self, b: np.ndarray, refine_iters: int = 3) -> np.ndarray:
+        from .refine import refine
+        if self.pools is None and not self.factor():
+            raise ValueError("matrix is not positive definite")
+        return refine(self.A, self._solve_f32, b, iters=refine_iters)
+
+    def metrics(self):
+        from ..utils.profiling import Metrics
+        plan = self.plan
+        m = Metrics().record_plan("chol", plan)
+        m.record(chol_engine="superscan",
+                 chol_panels=len(plan.panels),
+                 chol_steps=int(plan.nlevels),
+                 chol_segments=len(plan.segments),
+                 chol_levels=int(plan.nlevels),
+                 chol_nnz_predicted=int(plan.lnz))
+        return m
