@@ -145,9 +145,42 @@ def main():
             f"(python) / {t_host_native:.3f}s (native C++), lnz={Sy.lnz}")
 
     # ---- device supernodal cholesky -------------------------------------
-    engine = os.environ.get("TPUSPARSE_BENCH_ENGINE", "supernodal")
+    engine = os.environ.get("TPUSPARSE_BENCH_ENGINE", "superscan")
     t0 = time.perf_counter()
-    if engine == "supernodal":
+    xs_lists = None
+    if engine == "superscan":
+        from tpusparse.device.superscan import (SuperscanCholesky,
+                                                _segment_factor)
+        F = SuperscanCholesky(
+            A, order=int(os.environ.get("TPUSPARSE_BENCH_SN_ORDER", "1")),
+            max_segments=int(os.environ.get("TPUSPARSE_BENCH_SEGMENTS",
+                                            "32")))
+        plan = F.plan
+        t_plan = time.perf_counter() - t0
+        log(f"device plan[{engine}]: {t_plan:.3f}s, "
+            f"panels={len(plan.panels)}, levels={plan.nlevels}, "
+            f"segments={len(plan.segments)}, "
+            f"flops_true={plan.flops_true/1e9:.3f}G, "
+            f"flops_padded={plan.flops_padded/1e9:.3f}G, "
+            f"waste={plan.waste_ratio:.3f}")
+        pool0 = {pw: jnp.asarray(v) for pw, v in plan.pool_init.items()}
+        seg_keys = [tuple(sorted(s.xs)) for s in plan.segments]
+        seg_fns = [_segment_factor(k) for k in seg_keys]
+        xs_lists = [
+            {k: {nm: jnp.asarray(a) for nm, a in s.xs[k].items()}
+             for k in ks}
+            for s, ks in zip(plan.segments, seg_keys)]
+
+        def raw_factor(pools, xs_list):
+            for fn, xseg in zip(seg_fns, xs_list):
+                pools = fn(pools, xseg)
+            return pools
+
+        def probe(pools):
+            return sum(jnp.sum(v) for v in pools.values())[None]
+
+        nb_eff = plan.nlevels
+    elif engine == "supernodal":
         from tpusparse.device.supernodal import (SupernodalCholesky,
                                                  _factor_fn as _sn_factor)
         F = SupernodalCholesky(A, order=int(os.environ.get(
@@ -188,35 +221,66 @@ def main():
             return jnp.sum(pool)[None]     # full reduction, defeats DCE
 
         nb_eff = plan.nb
-    t0 = time.perf_counter()
-    out = F._factor(pool0)
-    jax.block_until_ready(out)
-    t_compile = time.perf_counter() - t0
-    log(f"device factor: first call (compile+run) {t_compile:.1f}s")
     # amortize the per-dispatch floor (axon relay ~30 ms): loop inside jit
     # with a carry dependency so iterations can't be elided
     REPS = max(3, min(8, 512 // max(nb_eff, 1)))
 
-    @jax.jit
-    def factor_loop(pool_init):
-        def body(i, carry):
-            acc, _ = carry
-            if isinstance(pool_init, dict):
+    if engine == "superscan":
+        # schedules are runtime args (trace-time constants overflow the
+        # remote compiler) — ONE combined program, reused for timing
+        @jax.jit
+        def factor_loop(pool_init, xs_list):
+            def body(i, carry):
+                acc, _ = carry
                 pin = {b: v + 0.0 * acc for b, v in pool_init.items()}
-            else:
-                pin = pool_init + 0.0 * acc
-            p = raw_factor(pin)
-            return probe(p).ravel()[0], p
+                p = raw_factor(pin, xs_list)
+                return probe(p).ravel()[0], p
 
-        init_out = jax.tree.map(jnp.zeros_like, pool_init)
-        return jax.lax.fori_loop(0, REPS, body,
-                                 (jnp.float32(0.0), init_out))[1]
+            init_out = jax.tree.map(jnp.zeros_like, pool_init)
+            return jax.lax.fori_loop(0, REPS, body,
+                                     (jnp.float32(0.0), init_out))[1]
 
-    jax.block_until_ready(factor_loop(pool0))   # compile
+        t0 = time.perf_counter()
+        out = factor_loop(pool0, xs_lists)
+        jax.block_until_ready(out)
+        t_compile = time.perf_counter() - t0
+        log(f"device factor: first call (compile+{REPS} runs) "
+            f"{t_compile:.1f}s")
+
+        def run_once():
+            return factor_loop(pool0, xs_lists)
+    else:
+        t0 = time.perf_counter()
+        out = F._factor(pool0)
+        jax.block_until_ready(out)
+        t_compile = time.perf_counter() - t0
+        log(f"device factor: first call (compile+run) {t_compile:.1f}s")
+
+        @jax.jit
+        def factor_loop(pool_init):
+            def body(i, carry):
+                acc, _ = carry
+                if isinstance(pool_init, dict):
+                    pin = {b: v + 0.0 * acc
+                           for b, v in pool_init.items()}
+                else:
+                    pin = pool_init + 0.0 * acc
+                p = raw_factor(pin)
+                return probe(p).ravel()[0], p
+
+            init_out = jax.tree.map(jnp.zeros_like, pool_init)
+            return jax.lax.fori_loop(0, REPS, body,
+                                     (jnp.float32(0.0), init_out))[1]
+
+        jax.block_until_ready(factor_loop(pool0))   # compile
+
+        def run_once():
+            return factor_loop(pool0)
+
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(factor_loop(pool0))
+        jax.block_until_ready(run_once())
         ts.append(time.perf_counter() - t0)
     t_dev = min(ts) / REPS
     gflops = plan.flops_true / t_dev / 1e9
@@ -225,12 +289,19 @@ def main():
         f"{gflops_padded:.1f} GF/s issued")
 
     # ---- correctness: full refined solve --------------------------------
-    if engine == "supernodal":
+    if engine == "superscan":
         F.pools = out
+        b = 1.0 + np.arange(n) / n
+        # host f64 trisolves on the downloaded device factor: zero extra
+        # device compiles (the device solve path is covered by tests)
+        x = F.solve_host(b)
     else:
-        F.pool = out
-    b = 1.0 + np.arange(n) / n
-    x = F.solve(b)
+        if engine == "supernodal":
+            F.pools = out
+        else:
+            F.pool = out
+        b = 1.0 + np.arange(n) / n
+        x = F.solve(b)
     r = resid_metric(A, x, b)
     log(f"refined residual: {r:.2e}")
 
@@ -283,6 +354,7 @@ def main():
         "tile_waste_ratio": round(plan.waste_ratio, 4),
         "refined_residual": float(f"{r:.3e}"),
         "spmv_gbs_min_bytes": round(gbs, 2),
+        "engine": engine,
         "backend": jax.default_backend(),
     }))
 

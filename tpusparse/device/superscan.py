@@ -222,7 +222,12 @@ def _build_panels(n, parent, cnt, colptr, colrows, wmax, tau, small_w):
 
 def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = 128,
                    tau: float = 0.9, small_w: int = 8,
-                   max_segments: int = 10) -> SuperscanPlan:
+                   max_segments: int = 10,
+                   lu_extras: bool = False) -> SuperscanPlan:
+    """``lu_extras`` additionally emits, for every update phase, a
+    diagonal-masked target array ``tgtu`` (in-diagonal positions -> -1)
+    so the LU engine can scatter its U-side deltas without
+    double-counting the diagonal block (see superscan_lu)."""
     n = A.n
     p, piv, parent, cnt, colptr, colrows = _symbolic(A, order)
     panels, col2p = _build_panels(n, parent, cnt, colptr, colrows,
@@ -292,7 +297,8 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = 128,
             ok = in_diag | found
             I_tgt = np.where(in_diag, ge_rows - s.c0, s.W + pos)[ok]
             I_src = ge_src[ok]
-            pair_list.append((d.pid, s.pid, I_src, I_tgt,
+            I_dg = in_diag[ok]
+            pair_list.append((d.pid, s.pid, I_src, I_tgt, I_dg,
                               l0_src, l0_cols))
             level[s.pid] = max(level[s.pid], level[d.pid] + 1)
     nlevels = int(level.max()) + 1 if panels else 0
@@ -318,7 +324,7 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = 128,
                     (pl.pid, rows_q))
             off += m
 
-    for (dpid, spid, I_src, I_tgt, l0_src, l0_cols) in pair_list:
+    for (dpid, spid, I_src, I_tgt, I_dg, l0_src, l0_cols) in pair_list:
         d, s = panels[dpid], panels[spid]
         wd = max(_pow2(d.w), 8)
         ws = max(_pow2(s.w), 8)
@@ -348,11 +354,16 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = 128,
             tg = np.full(h, -1, _IDX)
             src[:m] = d.rbase + I_src[off:off + m]
             tg[:m] = s.rbase + I_tgt[off:off + m]
-            upd_units.append(dict(
+            u = dict(
                 key=(key[0], key[1], key[2], h, key[4], key[5]),
                 src=src, tgt=tg,
                 rel=int(level[dpid]) + 1, dl=int(level[spid]),
-                **extra))
+                **extra)
+            if lu_extras:
+                tgu = tg.copy()
+                tgu[:m][I_dg[off:off + m]] = -1
+                u["tgtu"] = tgu
+            upd_units.append(u)
             off += m
 
     # ---- segmentation (DP over the level axis) -----------------------------
@@ -530,6 +541,8 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = 128,
             l0 = np.full((steps, U, Ws), -1, np.int32)
             cmap = (np.zeros((steps, U, Ws), np.int32)
                     if kind == "upds" else None)
+            tgu = (np.full((steps, U, H), -1, np.int32)
+                   if lu_extras else None)
             for t, lst in enumerate(slots):
                 for ui, u in enumerate(lst):
                     hh = u["src"].shape[0]
@@ -539,9 +552,13 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = 128,
                     l0[t, ui, :ww] = u["l0"]
                     if kind == "upds":
                         cmap[t, ui, :ww] = u["cmap"]
+                    if lu_extras:
+                        tgu[t, ui, :hh] = u["tgtu"]
             seg.xs[k] = {"src": src, "tgt": tg, "l0": l0}
             if cmap is not None:
                 seg.xs[k]["cmap"] = cmap
+            if tgu is not None:
+                seg.xs[k]["tgtu"] = tgu
             flops_padded += steps * U * _slot_flops(k)
         # chol / trsm phases: capacity = max per level
         ck = {k for (L, k) in chol_items if lo <= L < hi}
@@ -865,6 +882,53 @@ class SuperscanCholesky:
         if self.pools is None and not self.factor():
             raise ValueError("matrix is not positive definite")
         return refine(self.A, self._solve_f32, b, iters=refine_iters)
+
+    def extract_L(self) -> CSCMatrix:
+        """Download the factored pools into a host CSC L (permuted
+        coordinates, diagonal-first columns, true pattern only)."""
+        if self.pools is None:
+            raise ValueError("factor() first")
+        plan = self.plan
+        n = plan.n
+        host = {pw: np.asarray(v, np.float64)
+                for pw, v in self.pools.items()}
+        cols: List[Tuple[np.ndarray, np.ndarray]] = [None] * n
+        for pl in plan.panels:
+            buf = host[pl.pool]
+            for c in range(pl.w):
+                j = pl.c0 + c
+                diag_rows = np.arange(j, pl.c0 + pl.w)
+                diag_vals = buf[pl.rbase + c + np.arange(pl.w - c), c]
+                od_vals = buf[pl.rbase + pl.W
+                              + np.arange(pl.rows.size), c]
+                cols[j] = (np.concatenate([diag_rows, pl.rows]),
+                           np.concatenate([diag_vals, od_vals]))
+        indptr = np.zeros(n + 1, dtype=_IDX)
+        for j in range(n):
+            indptr[j + 1] = indptr[j] + cols[j][0].size
+        rows = np.concatenate([c[0] for c in cols]) if n else \
+            np.zeros(0, _IDX)
+        vals = np.concatenate([c[1] for c in cols]) if n else \
+            np.zeros(0)
+        return CSCMatrix(n, n, indptr, np.asarray(rows, _IDX), vals)
+
+    def solve_host(self, b: np.ndarray,
+                   refine_iters: int = 3) -> np.ndarray:
+        """Solve using host f64 triangular solves on the extracted
+        device factor (zero extra device compiles — bench path)."""
+        from ..numeric.trisolve import lsolve, ltsolve
+        from .refine import refine
+        if self.pools is None and not self.factor():
+            raise ValueError("matrix is not positive definite")
+        if getattr(self, "_Lhost", None) is None:
+            self._Lhost = self.extract_L()
+
+        def f32_solve(rhs):
+            xp = lsolve(self._Lhost, pvec(self.plan.perm, rhs))
+            xp = ltsolve(self._Lhost, xp)
+            return ipvec(self.plan.perm, xp)
+
+        return refine(self.A, f32_solve, b, iters=refine_iters)
 
     def metrics(self):
         from ..utils.profiling import Metrics
