@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""LU factorization benchmark (VERDICT r1 "What's missing" #5): sparse
+supernodal static-pivot LU on an unsymmetric banded matrix, the
+cs_lu-at-scale shape.  Prints ONE JSON line with true/issued GFLOP/s and
+the refined residual.
+
+Env: TPUSPARSE_BENCH_LU_N (default 50000), TPUSPARSE_BENCH_CPU=1,
+TPUSPARSE_BENCH_SEGMENTS (default 12).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), ".."))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    if os.environ.get("TPUSPARSE_BENCH_CPU"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    try:
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "..", ".jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+    import scipy.sparse as sp
+    from tpusparse.core import CSCMatrix
+    from tpusparse.device.superscan_lu import (SuperscanLU,
+                                               _segment_factor_lu,
+                                               _JIT_CACHE)
+    from tpusparse.demo import resid_metric
+
+    n = int(os.environ.get("TPUSPARSE_BENCH_LU_N", "50000"))
+    segs = int(os.environ.get("TPUSPARSE_BENCH_SEGMENTS", "12"))
+    rng = np.random.default_rng(1)
+    diags, offs = [], []
+    for off, scale in [(0, 4.5), (1, -1.0), (-1, -2.0), (40, -0.7),
+                       (-40, -0.4), (7, 0.5)]:
+        v = scale * (1.0 + 0.3 * rng.random(n - abs(off)))
+        diags.append(v)
+        offs.append(off)
+    S = sp.diags(diags, offs, format="csc")
+    A = CSCMatrix(n, n, S.indptr, S.indices, S.data)
+    log(f"lu bench: unsymmetric banded n={n}, nnz={A.nnz}, "
+        f"backend={jax.default_backend()}")
+
+    t0 = time.perf_counter()
+    F = SuperscanLU(A, order=1, max_segments=segs)
+    t_plan = time.perf_counter() - t0
+    plan = F.plan
+    ft, fp = 2 * plan.flops_true, 2 * plan.flops_padded   # L and U sides
+    log(f"plan: {t_plan:.1f}s panels={len(plan.panels)} "
+        f"levels={plan.nlevels} segs={len(plan.segments)} "
+        f"flops_true={ft/1e9:.2f}G padded={fp/1e9:.2f}G "
+        f"waste={plan.waste_ratio:.3f}")
+
+    t0 = time.perf_counter()
+    ok = F.factor()
+    t_first = time.perf_counter() - t0
+    log(f"factor first (compile+run): {t_first:.1f}s ok={ok}")
+    assert ok
+
+    # timed: re-run the cached per-segment programs
+    def run_once():
+        pools = {}
+        for pw in plan.pool_init:
+            pools[("L", pw)] = jnp.asarray(F._Lp0[pw])
+            pools[("U", pw)] = jnp.asarray(F._Up0[pw])
+        eps = jnp.float32(1e-8 * F._maxabs)
+        for seg in plan.segments:
+            keys = tuple(sorted(seg.xs))
+            sig = ("lufactor",) + tuple(
+                (k,) + tuple(a.shape) for k in keys
+                for a in seg.xs[k].values())
+            xs = {k: {nm: jnp.asarray(a)
+                      for nm, a in seg.xs[k].items()} for k in keys}
+            pools = _JIT_CACHE[sig](pools, xs, eps)
+        jax.block_until_ready(pools)
+        return pools
+
+    run_once()
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_once()
+        ts.append(time.perf_counter() - t0)
+    t_dev = min(ts)
+    gf_true = ft / t_dev / 1e9
+    gf_issued = fp / t_dev / 1e9
+    log(f"factor: {t_dev*1e3:.1f} ms -> {gf_true:.1f} GF/s true, "
+        f"{gf_issued:.1f} GF/s issued (includes H2D of the pools)")
+
+    b = 1.0 + np.arange(n) / n
+    x = F.solve(b)
+    r = resid_metric(A, x, b)
+    log(f"refined residual: {r:.2e}")
+
+    print(json.dumps({
+        "metric": "superscan_lu_gflops",
+        "value": round(gf_true, 2),
+        "unit": "GFLOP/s(f32,true-flops)",
+        "vs_baseline": None,
+        "n": n,
+        "nnz": A.nnz,
+        "lnz": int(plan.lnz),
+        "t_device_s": round(t_dev, 6),
+        "flops_true": ft,
+        "flops_padded": fp,
+        "waste_ratio": round(plan.waste_ratio, 4),
+        "refined_residual": float(f"{r:.3e}"),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -7,14 +7,18 @@ pivoting confined to device-friendly panels):
 
 - host: dmperm(A) -> block upper triangular A(p,q); structural
   singularity (sprank < n) fails exactly like the reference;
-- device: each diagonal block is padded to the tile grid and factored by
-  tpusparse.device.dense.blocked_lu (full partial pivoting inside the
-  block — legal because BTF confines every pivot to its diagonal block);
+- device: each diagonal block <= sparse_min is padded to the tile grid
+  and factored by tpusparse.device.dense.blocked_lu (full partial
+  pivoting inside the block — legal because BTF confines every pivot to
+  its diagonal block); blocks ABOVE sparse_min factor by the sparse
+  supernodal static-pivot engine (device.superscan_lu) WITHOUT
+  densifying (VERDICT r1 item 3);
 - solve: block back-substitution, off-diagonal coupling applied on host
   in f64 (O(nnz) total), wrapped in f64 iterative refinement.
 
 The reference's *unrestricted* row pivoting across the whole matrix is
-intentionally replaced by BTF + in-block pivoting — the static-shape
+intentionally replaced by BTF + in-block pivoting (dense blocks) or
+static pivoting + refinement (sparse blocks) — the static-shape
 data-dependent-pivot problem called out in SURVEY.md §7.4(1).
 """
 
@@ -42,6 +46,7 @@ class _Block:
     pad: int                # padded size on device
     LU: object = None       # device (pad, pad) factor
     perm: object = None     # device pivot perm
+    sparse: object = None   # SuperscanLU for blocks > sparse_min
 
 
 class TpuLU:
@@ -51,9 +56,14 @@ class TpuLU:
     """
 
     def __init__(self, A: CSCMatrix, order: int = 2, bs: int = 16,
-                 seed: int = 1):
+                 seed: int = 1, sparse_min: int = None):
         if A.m != A.n:
             raise ValueError("square matrix required")
+        import os
+        if sparse_min is None:
+            sparse_min = int(os.environ.get("TPUSPARSE_LU_SPARSE_MIN",
+                                            "2048"))
+        self.sparse_min = sparse_min
         self.A = A
         n = A.n
         D = dmperm(A, seed)
@@ -90,6 +100,16 @@ class TpuLU:
         ok = True
         for blk in self.blocks:
             lo, size, pad = blk.lo, blk.size, blk.pad
+            if size > self.sparse_min:
+                # sparse supernodal static-pivot path: O(lnz) memory,
+                # no densification (superscan_lu docstring)
+                from .superscan_lu import SuperscanLU
+                sub = self._extract_block(lo, lo + size)
+                F = SuperscanLU(sub, order=1)
+                if not F.factor():
+                    ok = False
+                blk.sparse = F
+                continue
             # densify the diagonal block (host gather)
             dense = np.zeros((pad, pad), dtype=np.float32)
             for j in range(lo, lo + size):
@@ -126,7 +146,9 @@ class TpuLU:
             blk = self.blocks[bi]
             lo, size = blk.lo, blk.size
             rhs = bp[lo:lo + size]
-            if size == 1:
+            if blk.sparse is not None:
+                xb = blk.sparse._solve_f32(rhs)
+            elif size == 1:
                 xb = rhs / blk.LU
             else:
                 rpad = np.zeros(blk.pad, dtype=np.float32)
@@ -146,10 +168,38 @@ class TpuLU:
         out[self.q] = x                             # undo column perm
         return out
 
+    def _extract_block(self, lo: int, hi: int) -> CSCMatrix:
+        """Diagonal block C[lo:hi, lo:hi] as a CSC submatrix
+        (vectorized slice, no densification)."""
+        Cp, Ci, Cx = self.C.indptr, self.C.indices, self.C.data
+        size = hi - lo
+        s0, s1 = int(Cp[lo]), int(Cp[hi])
+        rows = Ci[s0:s1]
+        vals = Cx[s0:s1]
+        cols = np.repeat(np.arange(size, dtype=np.int64),
+                         np.diff(Cp[lo:hi + 1]))
+        keep = (rows >= lo) & (rows < hi)
+        indptr = np.zeros(size + 1, dtype=np.int64)
+        np.cumsum(np.bincount(cols[keep], minlength=size),
+                  out=indptr[1:])
+        return CSCMatrix(size, size, indptr, rows[keep] - lo,
+                         vals[keep])
+
     def solve(self, b: np.ndarray, refine_iters: int = 3) -> np.ndarray:
         from .refine import refine
         if self.ok is None:
             self.factor()
         if not self.ok:
             raise ValueError("matrix is singular")
-        return refine(self.A, self._solve_f32, b, iters=refine_iters)
+        x = refine(self.A, self._solve_f32, b, iters=refine_iters)
+        if any(blk.sparse is not None for blk in self.blocks):
+            # static pivoting perturbs tiny pivots instead of failing;
+            # a numerically singular block shows up as a residual that
+            # refinement cannot heal — surface it as singularity
+            from ..core.ops import gaxpy, norm1
+            r = np.abs(b - gaxpy(self.A, x, np.zeros_like(x))).max()
+            denom = norm1(self.A) * np.abs(x).max() + np.abs(b).max()
+            if denom == 0 or not np.isfinite(r) or r / denom > 1e-8:
+                raise ValueError("matrix is singular "
+                                 "(refinement diverged)")
+        return x

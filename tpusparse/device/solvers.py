@@ -93,7 +93,12 @@ def lusol(order: int, A: CSCMatrix, b: np.ndarray, tol: float = 1.0):
         return False, None
     if not F.factor():
         return False, None
-    return True, F.solve(np.asarray(b, np.float64))
+    try:
+        return True, F.solve(np.asarray(b, np.float64))
+    except (ValueError, FloatingPointError):
+        # sparse static-pivot path: numerical singularity surfaces as
+        # diverged refinement, not a factor failure
+        return False, None
 
 
 def qrsol(order: int, A: CSCMatrix, b: np.ndarray):
