@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""QR (sparse least squares) benchmark (VERDICT r1 "What's missing" #5):
+Q-less supernodal QR on a large sparse regularized-Poisson LS problem
+A = [L; alpha*I] (m = 2n) — no m x n densification.  Prints ONE JSON
+line with the R-factor GFLOP/s and the normal-equation residual.
+
+Env: TPUSPARSE_BENCH_QR_N (default 65536), TPUSPARSE_BENCH_CPU=1,
+TPUSPARSE_BENCH_SEGMENTS (default 16).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), ".."))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    if os.environ.get("TPUSPARSE_BENCH_CPU"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    try:
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "..", ".jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+    import scipy.sparse as sp
+    from tpusparse.core import CSCMatrix
+    from tpusparse.core.ops import gaxpy, norm1
+    from tpusparse.device.qr_tpu import SparseQR
+    from tpusparse.device.superscan import _JIT_CACHE
+
+    n = int(os.environ.get("TPUSPARSE_BENCH_QR_N", "65536"))
+    g = int(round(n ** 0.5))
+    n = g * g
+    segs = int(os.environ.get("TPUSPARSE_BENCH_SEGMENTS", "16"))
+    main_d = 4.0 * np.ones(n)
+    ex = -np.ones(n - 1)
+    ex[np.arange(1, n) % g == 0] = 0.0
+    ey = -np.ones(n - g)
+    L = sp.diags([main_d, ex, ex, ey, ey], [0, 1, -1, g, -g],
+                 format="csc")
+    S = sp.vstack([L, 0.5 * sp.eye(n)], format="csc")
+    S.sort_indices()
+    A = CSCMatrix(2 * n, n, S.indptr, S.indices, S.data)
+    log(f"qr bench: regularized Poisson LS m={A.m} n={A.n} nnz={A.nnz}, "
+        f"backend={jax.default_backend()}")
+
+    t0 = time.perf_counter()
+    F = SparseQR(A, max_segments=segs)
+    t_build = time.perf_counter() - t0
+    plan = F.plan
+    assert F.rank_ok
+    log(f"A'A + plan + first factor: {t_build:.1f}s "
+        f"panels={len(plan.panels)} levels={plan.nlevels} "
+        f"segs={len(plan.segments)} flops_true={plan.flops_true/1e9:.2f}G "
+        f"padded={plan.flops_padded/1e9:.2f}G waste={plan.waste_ratio:.3f}")
+
+    # timed R factor: re-run the cached per-segment programs
+    from tpusparse.device.superscan import _segment_factor
+    pool0 = {pw: jnp.asarray(v) for pw, v in plan.pool_init.items()}
+    xs_dev = [
+        {k: {nm: jnp.asarray(a) for nm, a in seg.xs[k].items()}
+         for k in sorted(seg.xs)} for seg in plan.segments]
+    jax.block_until_ready(pool0)
+
+    def run_once():
+        pools = dict(pool0)
+        for si, seg in enumerate(plan.segments):
+            keys = tuple(sorted(seg.xs))
+            sig = ("factor",) + tuple(
+                (k,) + tuple(a.shape) for k in keys
+                for a in seg.xs[k].values())
+            pools = _JIT_CACHE[sig](pools, xs_dev[si])
+        jax.block_until_ready(pools)
+        return pools
+
+    run_once()
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_once()
+        ts.append(time.perf_counter() - t0)
+    t_dev = min(ts)
+    gf_true = plan.flops_true / t_dev / 1e9
+    log(f"R factor: {t_dev*1e3:.1f} ms -> {gf_true:.1f} GF/s true, "
+        f"{plan.flops_padded/t_dev/1e9:.1f} GF/s issued")
+
+    b = 1.0 + np.arange(A.m) / A.m
+    t0 = time.perf_counter()
+    x = F.solve_ls(b)
+    t_solve = time.perf_counter() - t0
+    # normal-equation residual, the LS optimality measure
+    r = gaxpy(A, x, -np.asarray(b, np.float64))
+    nr = gaxpy(F.At, r, np.zeros(A.n))
+    rel = np.abs(nr).max() / (norm1(F.AtA) * np.abs(x).max()
+                              + np.abs(nr).max() + 1e-300)
+    log(f"LS solve {t_solve:.1f}s, normal-eq residual {rel:.2e}")
+
+    print(json.dumps({
+        "metric": "sparse_qr_gflops",
+        "value": round(gf_true, 2),
+        "unit": "GFLOP/s(f32,true-flops,R-factor)",
+        "vs_baseline": None,
+        "m": A.m,
+        "n": A.n,
+        "nnz": A.nnz,
+        "rnz": int(plan.lnz),
+        "t_device_s": round(t_dev, 6),
+        "flops_true": plan.flops_true,
+        "flops_padded": plan.flops_padded,
+        "waste_ratio": round(plan.waste_ratio, 4),
+        "normal_eq_residual": float(f"{rel:.3e}"),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()
