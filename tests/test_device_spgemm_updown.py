@@ -61,6 +61,34 @@ def test_device_updown_roundtrip(rng):
     assert resid(d0, x, b) < 1e-13
 
 
+def test_device_updown_stays_on_device(rng, monkeypatch):
+    """VERDICT r1 item 5: updown must not download/re-upload the factor
+    — _extract_L (the old host round-trip) must never run, and the pool
+    must remain a device array."""
+    import jax
+    from tpusparse.device import TpuCholesky
+    d = rng.normal(size=(24, 24)) * (rng.random((24, 24)) < 0.4)
+    d = d @ d.T + 24 * np.eye(24)
+    A = csc_from_dense(d)
+    F = TpuCholesky(A, order=1, block=8)
+    assert F.factor()
+
+    def boom(self):
+        raise AssertionError("factor left the device")
+
+    monkeypatch.setattr(TpuCholesky, "_extract_L", boom)
+    w = np.zeros(24)
+    k = 12
+    widx = [i for i in range(24) if d[i, k] != 0 and i >= k]
+    w[widx] = rng.random(len(widx))
+    assert F.updown(+1, w)
+    assert isinstance(F.pool, jax.Array)
+    dn = d + np.outer(w, w)
+    b = rng.normal(size=24)
+    x = F.solve(b)
+    assert resid(dn, x, b) < 1e-12
+
+
 def test_device_updown_failure(rng):
     d = np.eye(4)
     A = csc_from_dense(d)
