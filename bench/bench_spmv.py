@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""General-pattern SpMV benchmark (VERDICT r1 item 6): an IRREGULAR
+(non-banded) matrix at n>=100k through the SELL windowed-gather Pallas
+kernel vs the XLA ELL-gather path, with the banded DIA path as the
+relay-floor reference.  Same serialized y-carry harness as bench.py.
+Prints ONE JSON line.
+
+Env: TPUSPARSE_BENCH_SPMV_N (default 131072), TPUSPARSE_BENCH_CPU=1.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), ".."))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def irregular_graph(n, k=6, seed=0):
+    """k-NN graph on random points: irregular pattern with geometric
+    locality (RCM-compressible) — the unstructured-mesh SpMV shape."""
+    import scipy.sparse as sp
+    from scipy.spatial import cKDTree
+    rng = np.random.default_rng(seed)
+    pts = rng.random((n, 2))
+    T = cKDTree(pts)
+    _, idx = T.query(pts, k=k + 1)
+    rows = np.repeat(np.arange(n), k)
+    cols = idx[:, 1:].reshape(-1)
+    M = sp.coo_matrix((rng.normal(size=rows.size), (rows, cols)),
+                      shape=(n, n)).tocsc()
+    M = (M + M.T + sp.eye(n) * 10).tocsc()
+    M.sort_indices()
+    from tpusparse.core import CSCMatrix
+    return CSCMatrix(n, n, M.indptr, M.indices, M.data)
+
+
+def measure(plan, n, jax, jnp, reps=50):
+    bufs = plan._bufs
+    apply_fn = plan._apply
+    x0 = jnp.asarray(np.random.default_rng(0).normal(size=n),
+                     jnp.float32)
+    np.asarray(plan.apply(x0))
+
+    @jax.jit
+    def loop(x):
+        def body(i, x):
+            y = apply_fn(*bufs, x)[:n]
+            return 0.125 * y
+        return jax.lax.fori_loop(0, reps, body, x)
+
+    loop(x0).block_until_ready()
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        loop(x0).block_until_ready()
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / reps
+
+
+def main():
+    if os.environ.get("TPUSPARSE_BENCH_CPU"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    try:
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "..", ".jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+    from tpusparse.device.spmv import spmv_plan
+    from bench import grid_spd
+
+    n = int(os.environ.get("TPUSPARSE_BENCH_SPMV_N", "131072"))
+    A = irregular_graph(n)
+    log(f"spmv bench: irregular kNN graph n={A.n} nnz={A.nnz}, "
+        f"backend={jax.default_backend()}")
+
+    out = {}
+    for mode in ("sell", "ell"):
+        t0 = time.perf_counter()
+        plan = spmv_plan(A, mode=mode)
+        t_plan = time.perf_counter() - t0
+        t = measure(plan, A.n, jax, jnp)
+        gbs = plan.bytes_min / t / 1e9
+        extra = ""
+        if mode == "sell":
+            extra = (f" waste={plan.waste_ratio:.3f} "
+                     f"spill={int(plan._bufs[3].size)}/{A.nnz}")
+            out["sell_spill_frac"] = round(
+                float(plan._bufs[3].size) / A.nnz, 4)
+            out["sell_waste"] = round(plan.waste_ratio, 4)
+        log(f"{mode}: plan {t_plan:.1f}s, {t*1e6:.1f} us -> "
+            f"{gbs:.2f} GB/s (min-bytes){extra}")
+        out[f"{mode}_gbs"] = round(gbs, 2)
+        out[f"{mode}_t_us"] = round(t * 1e6, 1)
+
+    # DIA reference (banded): the relay-floor comparator
+    gs = int(round(n ** 0.5))
+    Ab, _ = grid_spd(gs)
+    pd = spmv_plan(Ab, mode="dia")
+    td = measure(pd, Ab.n, jax, jnp)
+    dia_gbs = pd.bytes_min / td / 1e9
+    log(f"dia (banded ref, n={Ab.n}): {td*1e6:.1f} us -> "
+        f"{dia_gbs:.2f} GB/s")
+    out["dia_gbs"] = round(dia_gbs, 2)
+
+    print(json.dumps({
+        "metric": "spmv_irregular_gbs",
+        "value": out["sell_gbs"],
+        "unit": "GB/s(min-bytes)",
+        "vs_baseline": round(out["sell_gbs"] / max(out["ell_gbs"], 1e-9),
+                             2),
+        "n": A.n,
+        "nnz": A.nnz,
+        **out,
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

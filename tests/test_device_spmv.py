@@ -44,7 +44,7 @@ def test_plan_metrics(rng):
 def test_auto_mode_picks_something(rng):
     A, S = random_csc(rng, 64, 64, density=0.1)
     plan = spmv_plan(A, mode="auto")
-    assert plan.mode in ("ell", "bell")
+    assert plan.mode in ("ell", "bell", "sell")
     x = rng.normal(size=64)
     assert np.allclose(np.asarray(plan.apply(x)), S.toarray() @ x, atol=1e-4)
 
@@ -125,3 +125,35 @@ def test_dia_pallas_kernel(rng, monkeypatch):
     x = rng.normal(size=n)
     y = np.asarray(plan.apply(x))
     assert np.allclose(y, S.toarray() @ x, atol=1e-4)
+
+
+def test_sell_windowed_gather(rng):
+    """General-pattern SELL kernel (kernels.sell_spmv): RCM + windowed
+    lane gathers + COO spill must reproduce the host gaxpy exactly
+    (VERDICT r1 item 6)."""
+    import scipy.sparse as sp
+    from tpusparse.core import CSCMatrix
+    from tpusparse.core.ops import gaxpy
+    n = 900
+    # irregular: random local graph + a few long-range edges (spill path)
+    rows, cols = [], []
+    for i in range(n):
+        for d in rng.integers(1, 40, size=4):
+            rows.append(i)
+            cols.append((i + int(d)) % n)
+    rows += [0, 1, 2]
+    cols += [n - 1, n // 2, n - 3]
+    v = rng.normal(size=len(rows))
+    M = sp.coo_matrix((v, (rows, cols)), shape=(n, n)).tocsc()
+    M = (M + M.T + sp.eye(n) * 8).tocsc()
+    M.sort_indices()
+    A = CSCMatrix(n, n, M.indptr, M.indices, M.data)
+    plan = spmv_plan(A, mode="sell")
+    assert plan.mode == "sell"
+    x = rng.normal(size=n)
+    y = np.asarray(plan.apply(x))
+    yref = gaxpy(A, x, np.zeros(n))
+    assert np.abs(y - yref).max() / np.abs(yref).max() < 1e-5
+    # gaxpy contract and auto selection
+    y2 = np.asarray(plan.gaxpy(x, np.ones(n)))
+    assert np.allclose(y2, yref + 1.0, atol=1e-4)

@@ -93,3 +93,42 @@ def test_sharded_supernodal_factor(rng):
     x = np.zeros(n)
     x[plan.perm] = out
     assert resid(S.toarray(), x, b) < 1e-5     # raw f32, no refinement
+
+
+def test_sharded_supernodal_solve_and_comm_metrics(rng):
+    """VERDICT r1 item 7: the SOLVE's per-level batches are sharded too,
+    and the structural comm accounting reports ICI volume."""
+    import jax
+    import jax.numpy as jnp
+    from tpusparse.device.supernodal import plan_supernodal
+    from tpusparse.parallel import (sharded_supernodal_factor,
+                                    sharded_supernodal_solve,
+                                    supernodal_comm_metrics)
+    mesh = make_mesh(4)
+    n = 96
+    A, S = random_spd(rng, n, density=0.15)
+    plan = plan_supernodal(A, order=1)
+    factor = jax.jit(sharded_supernodal_factor(plan, mesh))
+    pools = factor({b: jnp.asarray(v) for b, v in plan.pool_init.items()})
+    solve = jax.jit(sharded_supernodal_solve(plan, mesh))
+    b = rng.normal(size=n)
+    bp = b[plan.perm]
+    xpad = np.zeros(n + 1, dtype=np.float32)
+    xpad[:n] = bp
+    out = np.asarray(solve(pools, jnp.asarray(xpad)), np.float64)[:n]
+    x = np.zeros(n)
+    x[plan.perm] = out
+    assert resid(S.toarray(), x, b) < 1e-5
+    cm = supernodal_comm_metrics(plan, 4)
+    for k in ("comm_bytes_factor", "comm_bytes_solve",
+              "comm_bytes_total", "comm_bytes_per_flop",
+              "compute_flops_issued"):
+        assert k in cm
+    assert cm["comm_bytes_total"] >= 0
+    assert cm["comm_bytes_total"] == (cm["comm_bytes_factor"]
+                                      + cm["comm_bytes_solve"])
+    assert cm["compute_flops_issued"] == plan.flops_padded
+    # a 1-device "mesh" shards everything (cnt >= 1 always): volume must
+    # not DECREASE with a finer mesh threshold
+    cm1 = supernodal_comm_metrics(plan, 1)
+    assert cm1["comm_bytes_total"] >= cm["comm_bytes_total"]

@@ -1,0 +1,94 @@
+"""SELL-128 windowed-gather SpMV kernel — the general-pattern Pallas
+path (VERDICT r1 item 6; reference semantics: csparse::cs_gaxpy).
+
+Layout (host-planned once per pattern, after an RCM bandwidth-reducing
+permutation):
+
+  * rows map to LANES: block b owns 128 consecutive rows; sub-step s
+    holds the s-th group of up to 8 nonzeros per row in SUBLANES —
+    slab shapes (S, 8, 128) for values and window positions.  With
+    mesh-like rows (~4-30 nnz) the slabs run ~90% full, unlike
+    tile-based block formats whose (8,128) tiles hold a few nonzeros.
+  * x is consumed through a WINDOW of TW consecutive 1024-entry tiles
+    per block (x stored as (ntiles, 8, 128), window start picked per
+    block at tile granularity).  RCM makes a 128-row block's columns
+    land in one window for anything bandwidth-compressible; entries
+    that still do not fit spill to an XLA COO pass (counted).
+  * the Mosaic gather primitive only gathers WITHIN 128 lanes with
+    idx.shape == operand.shape (measured on this toolchain), so the
+    window gather decomposes into 8*TW masked lane-gathers, one per
+    window sublane.
+
+Per step: 8*TW take_along_axis + masks + fma for up to 1024 nonzeros.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+from ..config import pallas_interpret
+
+__all__ = ["sell_supported", "build_sell_call", "TILE"]
+
+TILE = 1024         # one (8, 128) VMEM tile of x per window slot
+
+
+def sell_supported() -> bool:
+    return _HAS_PALLAS
+
+
+def _kernel(win_ref, pos_ref, vals_ref, x_ref, o_ref, *, S: int, TW: int):
+    i = pl.program_id(0)
+    t = win_ref[i]
+    acc = jnp.zeros((8, 128), jnp.float32)
+    subrows = []
+    for j in range(TW):
+        tile = x_ref[t + j]                     # (8, 128)
+        for q in range(8):
+            subrows.append(jnp.broadcast_to(
+                tile[q].reshape(1, 128), (8, 128)))
+    for s in range(S):
+        pos = pos_ref[0, s]                     # (8, 128) in [0, TW*1024)
+        vals = vals_ref[0, s]
+        lane = pos & 127
+        sub = pos >> 7
+        g = jnp.zeros((8, 128), jnp.float32)
+        for q in range(8 * TW):
+            gq = jnp.take_along_axis(subrows[q], lane, axis=1)
+            g = jnp.where(sub == q, gq, g)
+        acc = acc + vals * g
+    o_ref[0] = jnp.sum(acc, axis=0, keepdims=True)
+
+
+def build_sell_call(NB: int, S: int, ntiles: int, TW: int):
+    """pallas_call computing (NB, 1, 128) row sums from slabs + the
+    tiled x (ntiles, 8, 128)."""
+    kern = functools.partial(_kernel, S=S, TW=TW)
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((1, S, 8, 128), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, 8, 128), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 128), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((NB, 1, 128), jnp.float32),
+        grid_spec=gs,
+        interpret=pallas_interpret())

@@ -167,11 +167,112 @@ class SpmvPlan:
         return self._apply_many(*self._bufs, X)[:self.m]
 
 
+def _build_sell(A: CSCMatrix, max_s: int = 4, max_tw: int = 4):
+    """Plan the SELL-128 windowed-gather layout (see
+    kernels.sell_spmv): RCM permutation, rows->lanes slabs, per-block
+    multi-tile window selection, out-of-window/overflow spill to a COO
+    pass.  Returns None when the kernel stack is unavailable."""
+    from .kernels.sell_spmv import TILE, build_sell_call, sell_supported
+    if not sell_supported() or A.m != A.n or A.nnz == 0:
+        return None
+    n = A.n
+    from ..symbolic.rcm import rcm
+    from ..core.ops import permute
+    from ..core.perm import pinv as _pinv
+    p = rcm(A)
+    piv = _pinv(p)
+    C = permute(A, piv, p, values=True)
+    # CSR-style slabs: entries grouped by row (RCM coordinates)
+    cols_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(C.indptr))
+    rows_e, cols_e, vals_e = C.indices, cols_of, C.data
+    order = np.argsort(rows_e, kind="stable")
+    rows_e, cols_e, vals_e = rows_e[order], cols_e[order], vals_e[order]
+    NB = round_up(n, 128) // 128
+    rptr = np.zeros(n + 2, np.int64)
+    np.add.at(rptr, rows_e + 1, 1)
+    rptr = np.cumsum(rptr)
+    # adaptive sub-step count: cover the 95th-percentile row; heavier
+    # rows spill their tail to the COO pass
+    rlen = np.diff(rptr[:-1])
+    p95 = int(np.percentile(rlen, 95)) if n else 8
+    S = int(np.clip(-(-p95 // 8), 1, max_s))
+    # adaptive window width: tiles needed to cover the typical block's
+    # column spread at tile-granular starts
+    spreads = []
+    for b in range(NB):
+        lo, hi = rptr[b * 128], rptr[min((b + 1) * 128, n)]
+        if hi > lo:
+            bc = cols_e[lo:hi]
+            spreads.append(np.percentile(bc, 99) - np.percentile(bc, 1))
+    spread = float(np.percentile(spreads, 95)) if spreads else 0.0
+    TW = int(np.clip(-(-(spread + TILE) // TILE), 1, max_tw))
+    ntiles = max(-(-n // TILE), 1) + TW          # slack for clamping
+    pos = np.zeros((NB, S, 8, 128), np.int32)
+    vals = np.zeros((NB, S, 8, 128), np.float32)
+    winsel = np.zeros(NB, np.int32)
+    spill_r, spill_c, spill_v = [], [], []
+    for b in range(NB):
+        r0, r1 = b * 128, min((b + 1) * 128, n)
+        lo, hi = rptr[r0], rptr[r1]
+        bc = cols_e[lo:hi]
+        if hi > lo:
+            w = int(np.clip((np.median(bc) - TW * TILE // 2) // TILE,
+                            0, ntiles - TW))
+        else:
+            w = 0
+        winsel[b] = w
+        base = w * TILE
+        for r in range(r0, r1):
+            e0, e1 = rptr[r], rptr[r + 1]
+            cc, vv = cols_e[e0:e1], vals_e[e0:e1]
+            ok = (cc >= base) & (cc < base + TW * TILE)
+            cin, vin = cc[ok], vv[ok]
+            k = min(cin.size, S * 8)
+            lane = r - r0
+            ks = np.arange(k)
+            pos[b, ks // 8, ks % 8, lane] = cin[:k] - base
+            vals[b, ks // 8, ks % 8, lane] = vin[:k]
+            for csp, vsp in ((cin[k:], vin[k:]),
+                             (cc[~ok], vv[~ok])):
+                if csp.size:
+                    spill_r.append(np.full(csp.size, r))
+                    spill_c.append(csp)
+                    spill_v.append(vsp)
+    nsp = sum(x.size for x in spill_r)
+    sr = (np.concatenate(spill_r) if nsp else np.zeros(0, np.int64))
+    sc = (np.concatenate(spill_c) if nsp else np.zeros(0, np.int64))
+    sv = (np.concatenate(spill_v) if nsp else np.zeros(0))
+    call = build_sell_call(NB, S, ntiles, TW)
+    npad = ntiles * TILE
+
+    def apply_fn(winsel_d, pos_d, vals_d, sr_d, sc_d, sv_d, pvec_d,
+                 piv_d, x):
+        xp = x[pvec_d]
+        xpad = jnp.zeros(npad, DTYPE).at[:x.size].set(xp)
+        xtiles = xpad.reshape(ntiles, 8, 128)
+        y = call(winsel_d, pos_d, vals_d, xtiles).reshape(-1)[:x.size]
+        if sr_d.size:
+            y = y.at[sr_d].add(sv_d * xp[sc_d])
+        return y[piv_d]
+
+    bufs = (jnp.asarray(winsel), jnp.asarray(pos), jnp.asarray(vals),
+            jnp.asarray(sr.astype(np.int32)),
+            jnp.asarray(sc.astype(np.int32)), jnp.asarray(sv, DTYPE),
+            jnp.asarray(p.astype(np.int32)),
+            jnp.asarray(piv.astype(np.int32)))
+    slab_nnz = int((vals != 0).sum())
+    return dict(apply=jax.jit(apply_fn), bufs=bufs, NB=NB, S=S, TW=TW,
+                spill=nsp, slab_nnz=slab_nnz,
+                bytes_padded=pos.size * 8 + nsp * 16 + (2 * n) * 4
+                + n * 8)
+
+
 def spmv_plan(A: CSCMatrix, mode: str = "auto") -> SpmvPlan:
     """Plan a device SpMV for the pattern of A.
 
-    mode: 'ell' (XLA gather path), 'bell' (Pallas MXU tile path), or
-    'auto' (bell only when tile occupancy is worthwhile).
+    mode: 'ell' (XLA gather path), 'bell' (Pallas MXU tile path),
+    'dia' (gather-free banded), 'sell' (RCM + windowed-gather Pallas,
+    the general-pattern path), or 'auto'.
     """
     if mode == "auto":
         mode = "ell"
@@ -190,6 +291,22 @@ def spmv_plan(A: CSCMatrix, mode: str = "auto") -> SpmvPlan:
             occ = A.nnz / max(ntiles * 128 * 128, 1)
             if occ > 0.25:
                 mode = "bell"
+        if (mode == "ell" and _HAS_PALLAS and A.m == A.n
+                and A.nnz > 0 and A.nnz / A.n <= 32):
+            mode = "sell"          # general irregular pattern
+    if mode == "sell":
+        plan = _build_sell(A)
+        if plan is None:
+            mode = "ell"
+        else:
+            nnz = A.nnz
+            return SpmvPlan(
+                m=A.m, n=A.n, mode="sell", flops=2 * nnz,
+                bytes_min=nnz * 8 + (A.m + A.n) * 4,
+                bytes_padded=plan["bytes_padded"],
+                waste_ratio=1.0 - plan["slab_nnz"]
+                / max(plan["NB"] * plan["S"] * 1024, 1),
+                _apply=plan["apply"], _bufs=plan["bufs"])
     if mode == "dia":
         D = to_dia(A)
         fn = _build_dia_fn(D)
