@@ -97,9 +97,8 @@ def main():
         extra = ""
         if mode == "sell":
             extra = (f" waste={plan.waste_ratio:.3f} "
-                     f"spill={int(plan._bufs[3].size)}/{A.nnz}")
-            out["sell_spill_frac"] = round(
-                float(plan._bufs[3].size) / A.nnz, 4)
+                     f"spill={plan.spill}/{A.nnz}")
+            out["sell_spill_frac"] = round(float(plan.spill) / A.nnz, 4)
             out["sell_waste"] = round(plan.waste_ratio, 4)
         log(f"{mode}: plan {t_plan:.1f}s, {t*1e6:.1f} us -> "
             f"{gbs:.2f} GB/s (min-bytes){extra}")

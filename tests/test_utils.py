@@ -120,3 +120,24 @@ def test_engine_metrics(rng):
     m2 = SupernodalCholesky(A, order=1).metrics()
     assert m2.values["chol_engine"] == "supernodal"
     assert '"chol_levels"' in m2.json()
+
+
+def test_superscan_factor_checkpoint(rng, tmp_path):
+    from tpusparse.core import csc_from_dense
+    from tpusparse.device.superscan import SuperscanCholesky
+    from tpusparse.utils.checkpoint import (load_superscan_factor,
+                                            save_superscan_factor)
+    n = 40
+    d = rng.normal(size=(n, n)) * (rng.random((n, n)) < 0.3)
+    d = d @ d.T + n * np.eye(n)
+    A = csc_from_dense(d)
+    F = SuperscanCholesky(A, order=1, wmax=16, tau=0.9, small_w=4)
+    assert F.factor()
+    pth = str(tmp_path / "ss.npz")
+    save_superscan_factor(pth, F)
+    F2 = load_superscan_factor(pth, A, order=1, wmax=16, tau=0.9,
+                               small_w=4)
+    b = rng.normal(size=n)
+    x = F2.solve(b)          # no re-factorization needed
+    from helpers import resid
+    assert resid(d, x, b) < 1e-12

@@ -139,6 +139,7 @@ class SpmvPlan:
     bytes_min: int
     bytes_padded: int
     waste_ratio: float
+    spill: int = 0                  # entries handled by the COO pass
     _apply: Callable = None
     _bufs: tuple = None
     _apply_many: Callable = None
@@ -191,11 +192,6 @@ def _build_sell(A: CSCMatrix, max_s: int = 4, max_tw: int = 4):
     rptr = np.zeros(n + 2, np.int64)
     np.add.at(rptr, rows_e + 1, 1)
     rptr = np.cumsum(rptr)
-    # adaptive sub-step count: cover the 95th-percentile row; heavier
-    # rows spill their tail to the COO pass
-    rlen = np.diff(rptr[:-1])
-    p95 = int(np.percentile(rlen, 95)) if n else 8
-    S = int(np.clip(-(-p95 // 8), 1, max_s))
     # adaptive window width: tiles needed to cover the typical block's
     # column spread at tile-granular starts
     spreads = []
@@ -207,9 +203,10 @@ def _build_sell(A: CSCMatrix, max_s: int = 4, max_tw: int = 4):
     spread = float(np.percentile(spreads, 95)) if spreads else 0.0
     TW = int(np.clip(-(-(spread + TILE) // TILE), 1, max_tw))
     ntiles = max(-(-n // TILE), 1) + TW          # slack for clamping
-    pos = np.zeros((NB, S, 8, 128), np.int32)
-    vals = np.zeros((NB, S, 8, 128), np.float32)
-    winsel = np.zeros(NB, np.int32)
+    # blocks are partitioned into S-classes {1,2,...,max_s} by their max
+    # in-window row length, so slab padding tracks each block's need
+    # instead of the global worst case
+    blocks = []          # (bid, w, S_b, rows data)
     spill_r, spill_c, spill_v = [], [], []
     for b in range(NB):
         r0, r1 = b * 128, min((b + 1) * 128, n)
@@ -220,51 +217,86 @@ def _build_sell(A: CSCMatrix, max_s: int = 4, max_tw: int = 4):
                             0, ntiles - TW))
         else:
             w = 0
-        winsel[b] = w
         base = w * TILE
+        rows_data = []
+        kmax = 0
         for r in range(r0, r1):
             e0, e1 = rptr[r], rptr[r + 1]
             cc, vv = cols_e[e0:e1], vals_e[e0:e1]
             ok = (cc >= base) & (cc < base + TW * TILE)
             cin, vin = cc[ok], vv[ok]
-            k = min(cin.size, S * 8)
-            lane = r - r0
-            ks = np.arange(k)
-            pos[b, ks // 8, ks % 8, lane] = cin[:k] - base
-            vals[b, ks // 8, ks % 8, lane] = vin[:k]
-            for csp, vsp in ((cin[k:], vin[k:]),
-                             (cc[~ok], vv[~ok])):
+            k = min(cin.size, max_s * 8)
+            kmax = max(kmax, k)
+            rows_data.append((r - r0, cin[:k] - base, vin[:k]))
+            for csp, vsp in ((cin[k:], vin[k:]), (cc[~ok], vv[~ok])):
                 if csp.size:
                     spill_r.append(np.full(csp.size, r))
                     spill_c.append(csp)
                     spill_v.append(vsp)
+        Sb = 1
+        while Sb * 8 < kmax:
+            Sb *= 2
+        Sb = min(Sb, max_s)
+        blocks.append((b, w, Sb, rows_data))
     nsp = sum(x.size for x in spill_r)
     sr = (np.concatenate(spill_r) if nsp else np.zeros(0, np.int64))
     sc = (np.concatenate(spill_c) if nsp else np.zeros(0, np.int64))
     sv = (np.concatenate(spill_v) if nsp else np.zeros(0))
-    call = build_sell_call(NB, S, ntiles, TW)
-    npad = ntiles * TILE
 
-    def apply_fn(winsel_d, pos_d, vals_d, sr_d, sc_d, sv_d, pvec_d,
-                 piv_d, x):
+    classes = sorted({blk[2] for blk in blocks})
+    calls = []           # (call, S, bids, winsel, pos, vals)
+    slab_nnz = 0
+    bytes_padded = nsp * 16 + (2 * n) * 4 + n * 8
+    for S in classes:
+        sel = [blk for blk in blocks if blk[2] == S]
+        NBc = len(sel)
+        pos = np.zeros((NBc, S, 8, 128), np.int32)
+        vals = np.zeros((NBc, S, 8, 128), np.float32)
+        winsel = np.zeros(NBc, np.int32)
+        bids = np.zeros(NBc, np.int32)
+        for i, (b, w, _s, rows_data) in enumerate(sel):
+            winsel[i] = w
+            bids[i] = b
+            for lane, cin, vin in rows_data:
+                k = cin.size
+                ks = np.arange(k)
+                pos[i, ks // 8, ks % 8, lane] = cin
+                vals[i, ks // 8, ks % 8, lane] = vin
+        calls.append((build_sell_call(NBc, S, ntiles, TW), S,
+                      jnp.asarray(bids), jnp.asarray(winsel),
+                      jnp.asarray(pos), jnp.asarray(vals)))
+        slab_nnz += int((vals != 0).sum())
+        bytes_padded += pos.size * 8
+    npad = ntiles * TILE
+    nslots = sum(1 for _ in classes)
+
+    def apply_fn(sr_d, sc_d, sv_d, pvec_d, piv_d, *bufs_and_x):
+        *flat, x = bufs_and_x
         xp = x[pvec_d]
         xpad = jnp.zeros(npad, DTYPE).at[:x.size].set(xp)
         xtiles = xpad.reshape(ntiles, 8, 128)
-        y = call(winsel_d, pos_d, vals_d, xtiles).reshape(-1)[:x.size]
+        yb = jnp.zeros((NB, 128), DTYPE)
+        for ci, (call, S, *_rest) in enumerate(calls):
+            bids_d, winsel_d, pos_d, vals_d = flat[4 * ci:4 * ci + 4]
+            out = call(winsel_d, pos_d, vals_d, xtiles)
+            yb = yb.at[bids_d].set(out.reshape(-1, 128))
+        y = yb.reshape(-1)[:x.size]
         if sr_d.size:
             y = y.at[sr_d].add(sv_d * xp[sc_d])
         return y[piv_d]
 
-    bufs = (jnp.asarray(winsel), jnp.asarray(pos), jnp.asarray(vals),
-            jnp.asarray(sr.astype(np.int32)),
+    flat_bufs = []
+    for (_call, _S, bids_d, winsel_d, pos_d, vals_d) in calls:
+        flat_bufs += [bids_d, winsel_d, pos_d, vals_d]
+    bufs = (jnp.asarray(sr.astype(np.int32)),
             jnp.asarray(sc.astype(np.int32)), jnp.asarray(sv, DTYPE),
             jnp.asarray(p.astype(np.int32)),
-            jnp.asarray(piv.astype(np.int32)))
-    slab_nnz = int((vals != 0).sum())
-    return dict(apply=jax.jit(apply_fn), bufs=bufs, NB=NB, S=S, TW=TW,
-                spill=nsp, slab_nnz=slab_nnz,
-                bytes_padded=pos.size * 8 + nsp * 16 + (2 * n) * 4
-                + n * 8)
+            jnp.asarray(piv.astype(np.int32)), *flat_bufs)
+    return dict(apply=jax.jit(apply_fn), bufs=bufs, NB=NB,
+                S=max(classes), TW=TW, spill=nsp, slab_nnz=slab_nnz,
+                slab_slots=sum(
+                    c[4].size for c in calls),
+                bytes_padded=bytes_padded)
 
 
 def spmv_plan(A: CSCMatrix, mode: str = "auto") -> SpmvPlan:
@@ -305,7 +337,8 @@ def spmv_plan(A: CSCMatrix, mode: str = "auto") -> SpmvPlan:
                 bytes_min=nnz * 8 + (A.m + A.n) * 4,
                 bytes_padded=plan["bytes_padded"],
                 waste_ratio=1.0 - plan["slab_nnz"]
-                / max(plan["NB"] * plan["S"] * 1024, 1),
+                / max(plan["slab_slots"], 1),
+                spill=plan["spill"],
                 _apply=plan["apply"], _bufs=plan["bufs"])
     if mode == "dia":
         D = to_dia(A)

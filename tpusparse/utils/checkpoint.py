@@ -20,7 +20,8 @@ from ..numeric.chol import Numeric
 from ..symbolic.plan import Symbolic
 
 __all__ = ["save_symbolic", "load_symbolic", "save_numeric", "load_numeric",
-           "save_chol_factor", "load_chol_factor"]
+           "save_chol_factor", "load_chol_factor",
+           "save_superscan_factor", "load_superscan_factor"]
 
 _OPT_FIELDS = ("pinv", "q", "parent", "cp", "leftmost")
 
@@ -144,4 +145,42 @@ def load_chol_factor(path: str, A: CSCMatrix):
     F._solve_vmapped = None
     F.use_scan = plan.nb >= TpuCholesky.SCAN_THRESHOLD
     F.pool = jnp.asarray(z["pool"])
+    return F
+
+
+def save_superscan_factor(path: str, F) -> None:
+    """Persist a factored SuperscanCholesky: the packed row pools + the
+    plan parameters needed to verify a resume.  The (deterministic)
+    schedule is re-planned on load — at scale the numeric factor and its
+    compile dominate, which is what resuming skips."""
+    if F.pools is None:
+        raise ValueError("factor() first")
+    plan = F.plan
+    d = {"perm": plan.perm, "n": np.array([plan.n]),
+         "flops_true": np.array([plan.flops_true]),
+         "lnz": np.array([plan.lnz])}
+    for pw, v in F.pools.items():
+        d[f"pool_{pw}"] = np.asarray(v)
+    np.savez_compressed(path, **d)
+
+
+def load_superscan_factor(path: str, A: CSCMatrix, **plan_kwargs):
+    """Restore a factored SuperscanCholesky bound to matrix A.  The plan
+    is rebuilt (deterministic for the same A and parameters) and checked
+    against the stored permutation/shape before the pools are injected."""
+    import jax.numpy as jnp
+
+    from ..device.superscan import SuperscanCholesky
+    z = np.load(path)
+    F = SuperscanCholesky(A, **plan_kwargs)
+    if int(z["n"][0]) != F.plan.n or not np.array_equal(
+            z["perm"], F.plan.perm):
+        raise ValueError("checkpoint does not match this matrix/plan")
+    pools = {}
+    for pw in F.plan.pool_init:
+        key = f"pool_{pw}"
+        if key not in z or z[key].shape != F.plan.pool_init[pw].shape:
+            raise ValueError("checkpoint pool shapes do not match")
+        pools[pw] = jnp.asarray(z[key])
+    F.pools = pools
     return F
