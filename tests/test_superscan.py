@@ -128,3 +128,13 @@ def test_metrics(rng):
     m = F.metrics().values
     assert m["chol_engine"] == "superscan"
     assert m["chol_panels"] > 0 and m["chol_segments"] >= 1
+
+
+def test_solve_many(rng):
+    d, A = _spd(rng, 50, 0.25)
+    F = SuperscanCholesky(A, order=1, wmax=16, tau=0.9, small_w=4)
+    assert F.factor()
+    B = rng.normal(size=(50, 3))
+    X = F.solve_many(B)
+    for j in range(3):
+        assert resid(d, X[:, j], B[:, j]) < 1e-12

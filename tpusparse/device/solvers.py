@@ -49,7 +49,12 @@ def cholsol(order: int, A: CSCMatrix, b: np.ndarray, engine: str = None):
     if A.m != A.n or A.m != len(b):
         return False, None
     if engine is None:
-        engine = os.environ.get("TPUSPARSE_CHOL_ENGINE", "supernodal")
+        engine = os.environ.get("TPUSPARSE_CHOL_ENGINE", "auto")
+    if engine == "auto":
+        # the level-unrolled supernodal engine compiles one program per
+        # level x update-group (fine at demo scale, prohibitive at
+        # scale); superscan's program size is segment-bound
+        engine = "superscan" if A.n >= 16384 else "supernodal"
     F = None
     if engine == "superscan":
         try:

@@ -930,6 +930,67 @@ class SuperscanCholesky:
 
         return refine(self.A, f32_solve, b, iters=refine_iters)
 
+    def solve_many(self, B: np.ndarray, refine_iters: int = 3) -> np.ndarray:
+        """Solve A X = B for (n, k) right-hand sides: the device solve
+        scans vmapped over the RHS axis (one dispatch chain per
+        segment) + batched f64 refinement — the factor-once/solve-many
+        contract shared by every engine (SURVEY.md §5)."""
+        B = np.asarray(B, dtype=np.float64)
+        if B.ndim == 1:
+            return self.solve(B, refine_iters)
+        if self.pools is None and not self.factor():
+            raise ValueError("matrix is not positive definite")
+        plan = self.plan
+        from ..core.ops import gaxpy, norm1
+        sched = self._sched()
+
+        def run_many(xpads):                     # (k, n+1) jnp
+            for direction in ("solvef", "solveb"):
+                order = (range(len(plan.segments))
+                         if direction == "solvef"
+                         else range(len(plan.segments) - 1, -1, -1))
+                for si in order:
+                    seg = plan.segments[si]
+                    keys = tuple(sorted(sched[si]))
+                    if not keys:
+                        continue
+                    sig = ("v" + direction,) + tuple(
+                        (k,) + tuple(a.shape) for k in keys
+                        for a in sched[si][k].values())
+                    if sig not in _JIT_CACHE:
+                        _JIT_CACHE[sig] = jax.jit(jax.vmap(
+                            _segment_solve(keys,
+                                           direction == "solveb"),
+                            in_axes=(None, 0, None)))
+                    xs = {k: {nm: jnp.asarray(a)
+                              for nm, a in sched[si][k].items()}
+                          for k in keys}
+                    xpads = _JIT_CACHE[sig](self.pools, xpads, xs)
+            return xpads
+
+        def solve_f32_many(Bm):
+            k = Bm.shape[1]
+            Bp = Bm[plan.perm]
+            xpad = np.zeros((k, plan.n + 1), dtype=np.float32)
+            xpad[:, :plan.n] = Bp.T
+            out = np.asarray(run_many(jnp.asarray(xpad)),
+                             np.float64)[:, :plan.n].T
+            res = np.zeros_like(out)
+            res[plan.perm] = out
+            return res
+
+        X = solve_f32_many(B)
+        nrmA = norm1(self.A)
+        for _ in range(refine_iters):
+            R = np.stack([B[:, j] - gaxpy(self.A, X[:, j],
+                                          np.zeros(self.A.m))
+                          for j in range(B.shape[1])], axis=1)
+            denom = nrmA * np.abs(X).max() + np.abs(B).max()
+            if denom == 0 or np.abs(R).max() / denom < 1e-14:
+                break
+            X = X + solve_f32_many(R)
+        return X
+
     def metrics(self):
         from ..utils.profiling import Metrics
         plan = self.plan
