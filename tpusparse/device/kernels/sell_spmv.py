@@ -48,60 +48,47 @@ def sell_supported() -> bool:
     return _HAS_PALLAS
 
 
-def _kernel(win_ref, steps_ref, pos_ref, vals_ref, x_ref, o_ref, *,
-            SG: int, TW: int, G: int):
-    """One grid step = one GROUP of G row-blocks sharing a window.
-    steps_ref[i, g] = first sub-step of block g in the group's packed
-    (SG, 8, 128) slab axis; blocks consume variable sub-step counts
-    (SELL-sigma row sorting makes groups length-homogeneous)."""
+def _kernel(win_ref, pos_ref, vals_ref, x_ref, o_ref, *, S: int, TW: int):
     i = pl.program_id(0)
     t = win_ref[i]
+    acc = jnp.zeros((8, 128), jnp.float32)
     subrows = []
     for j in range(TW):
         tile = x_ref[t + j]                     # (8, 128)
         for q in range(8):
             subrows.append(jnp.broadcast_to(
                 tile[q].reshape(1, 128), (8, 128)))
-    outs = []
-    for g in range(G):
-        s0 = steps_ref[i, g]
-        s1 = steps_ref[i, g + 1]
-
-        def body(s, acc):
-            pos = pos_ref[0, s]                 # (8,128) in [0, TW*1024)
-            vals = vals_ref[0, s]
-            lane = pos & 127
-            sub = pos >> 7
-            gat = jnp.zeros((8, 128), jnp.float32)
-            for q in range(8 * TW):
-                gq = jnp.take_along_axis(subrows[q], lane, axis=1)
-                gat = jnp.where(sub == q, gq, gat)
-            return acc + vals * gat
-
-        acc = jax.lax.fori_loop(s0, s1, body,
-                                jnp.zeros((8, 128), jnp.float32))
-        outs.append(jnp.sum(acc, axis=0))
-    o_ref[0] = jnp.stack(outs)
+    for s in range(S):
+        pos = pos_ref[0, s]                     # (8, 128) in [0, TW*1024)
+        vals = vals_ref[0, s]
+        lane = pos & 127
+        sub = pos >> 7
+        g = jnp.zeros((8, 128), jnp.float32)
+        for q in range(8 * TW):
+            gq = jnp.take_along_axis(subrows[q], lane, axis=1)
+            g = jnp.where(sub == q, gq, g)
+        acc = acc + vals * g
+    o_ref[0] = jnp.sum(acc, axis=0, keepdims=True)
 
 
-def build_sell_call(NG: int, SG: int, ntiles: int, TW: int, G: int):
-    """pallas_call computing (NG, G, 128) row sums from packed slabs
-    (NG, SG, 8, 128) + the tiled x (ntiles, 8, 128)."""
-    kern = functools.partial(_kernel, SG=SG, TW=TW, G=G)
+def build_sell_call(NB: int, S: int, ntiles: int, TW: int):
+    """pallas_call computing (NB, 1, 128) row sums from slabs + the
+    tiled x (ntiles, 8, 128)."""
+    kern = functools.partial(_kernel, S=S, TW=TW)
     gs = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(NG,),
+        num_scalar_prefetch=1,
+        grid=(NB,),
         in_specs=[
-            pl.BlockSpec((1, SG, 8, 128), lambda i, *_: (i, 0, 0, 0),
+            pl.BlockSpec((1, S, 8, 128), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SG, 8, 128), lambda i, *_: (i, 0, 0, 0),
+            pl.BlockSpec((1, S, 8, 128), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, G, 128), lambda i, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, 128), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM))
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((NG, G, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NB, 1, 128), jnp.float32),
         grid_spec=gs,
         interpret=pallas_interpret())

@@ -188,31 +188,28 @@ def _build_sell(A: CSCMatrix, max_s: int = 4, max_tw: int = 4):
     rows_e, cols_e, vals_e = C.indices, cols_of, C.data
     order = np.argsort(rows_e, kind="stable")
     rows_e, cols_e, vals_e = rows_e[order], cols_e[order], vals_e[order]
-    G = 8                                        # row blocks per group
-    GR = G * 128                                 # rows per group
-    NG = max(-(-n // GR), 1)
+    NB = round_up(n, 128) // 128
     rptr = np.zeros(n + 2, np.int64)
     np.add.at(rptr, rows_e + 1, 1)
     rptr = np.cumsum(rptr)
-    # adaptive window width: tiles needed to cover the typical group's
+    # adaptive window width: tiles needed to cover the typical block's
     # column spread at tile-granular starts
     spreads = []
-    for gi in range(NG):
-        lo, hi = rptr[gi * GR], rptr[min((gi + 1) * GR, n)]
+    for b in range(NB):
+        lo, hi = rptr[b * 128], rptr[min((b + 1) * 128, n)]
         if hi > lo:
             bc = cols_e[lo:hi]
             spreads.append(np.percentile(bc, 99) - np.percentile(bc, 1))
     spread = float(np.percentile(spreads, 95)) if spreads else 0.0
     TW = int(np.clip(-(-(spread + TILE) // TILE), 1, max_tw))
     ntiles = max(-(-n // TILE), 1) + TW          # slack for clamping
-    # groups of G row-blocks share a window; rows are SELL-sigma sorted
-    # inside each group (by in-window length, descending) so the packed
-    # per-block sub-step counts hug the real row lengths
-    groups = []       # (winsel, steps prefix (G+1,), packed rows data,
-    #                    rowmap (G*128,))
+    # blocks are partitioned into S-classes {1,2,...,max_s} by their max
+    # in-window row length, so slab padding tracks each block's need
+    # instead of the global worst case
+    blocks = []          # (bid, w, S_b, rows data)
     spill_r, spill_c, spill_v = [], [], []
-    for gi in range(NG):
-        r0, r1 = gi * GR, min((gi + 1) * GR, n)
+    for b in range(NB):
+        r0, r1 = b * 128, min((b + 1) * 128, n)
         lo, hi = rptr[r0], rptr[r1]
         bc = cols_e[lo:hi]
         if hi > lo:
@@ -221,101 +218,84 @@ def _build_sell(A: CSCMatrix, max_s: int = 4, max_tw: int = 4):
         else:
             w = 0
         base = w * TILE
-        rows_data = []                           # (row, cin, vin)
+        rows_data = []
+        kmax = 0
         for r in range(r0, r1):
             e0, e1 = rptr[r], rptr[r + 1]
             cc, vv = cols_e[e0:e1], vals_e[e0:e1]
             ok = (cc >= base) & (cc < base + TW * TILE)
             cin, vin = cc[ok], vv[ok]
             k = min(cin.size, max_s * 8)
-            rows_data.append((r, cin[:k] - base, vin[:k]))
+            kmax = max(kmax, k)
+            rows_data.append((r - r0, cin[:k] - base, vin[:k]))
             for csp, vsp in ((cin[k:], vin[k:]), (cc[~ok], vv[~ok])):
                 if csp.size:
                     spill_r.append(np.full(csp.size, r))
                     spill_c.append(csp)
                     spill_v.append(vsp)
-        rows_data.sort(key=lambda t: -t[1].size)
-        steps = np.zeros(G + 1, np.int64)
-        rowmap = np.full(GR, n, np.int64)
-        for g in range(G):
-            seg = rows_data[g * 128:(g + 1) * 128]
-            kmax = max((t[1].size for t in seg), default=0)
-            steps[g + 1] = steps[g] + -(-max(kmax, 1) // 8)
-            for lane, (r, _c, _v) in enumerate(seg):
-                rowmap[g * 128 + lane] = r
-        groups.append((w, steps, rows_data, rowmap))
+        Sb = 1
+        while Sb * 8 < kmax:
+            Sb *= 2
+        Sb = min(Sb, max_s)
+        blocks.append((b, w, Sb, rows_data))
     nsp = sum(x.size for x in spill_r)
     sr = (np.concatenate(spill_r) if nsp else np.zeros(0, np.int64))
     sc = (np.concatenate(spill_c) if nsp else np.zeros(0, np.int64))
     sv = (np.concatenate(spill_v) if nsp else np.zeros(0))
 
-    # partition groups by pow2 class of their packed step count so slab
-    # DMA tracks each group's need
-    def _pow2(x):
-        q = 1
-        while q < x:
-            q *= 2
-        return q
-
-    classes = sorted({_pow2(int(g[1][-1])) for g in groups})
-    calls = []
+    classes = sorted({blk[2] for blk in blocks})
+    calls = []           # (call, S, bids, winsel, pos, vals)
     slab_nnz = 0
-    rowmap_all = []
     bytes_padded = nsp * 16 + (2 * n) * 4 + n * 8
-    for SG in classes:
-        sel = [g for g in groups if _pow2(int(g[1][-1])) == SG]
-        NGc = len(sel)
-        pos = np.zeros((NGc, SG, 8, 128), np.int32)
-        vals = np.zeros((NGc, SG, 8, 128), np.float32)
-        winsel = np.zeros(NGc, np.int32)
-        stepsarr = np.zeros((NGc, G + 1), np.int32)
-        rmap = np.zeros((NGc, GR), np.int64)
-        for i, (w, steps, rows_data, rowmap) in enumerate(sel):
+    for S in classes:
+        sel = [blk for blk in blocks if blk[2] == S]
+        NBc = len(sel)
+        pos = np.zeros((NBc, S, 8, 128), np.int32)
+        vals = np.zeros((NBc, S, 8, 128), np.float32)
+        winsel = np.zeros(NBc, np.int32)
+        bids = np.zeros(NBc, np.int32)
+        for i, (b, w, _s, rows_data) in enumerate(sel):
             winsel[i] = w
-            stepsarr[i] = steps
-            rmap[i] = rowmap
-            for j, (r, cin, vin) in enumerate(rows_data):
-                g, lane = j // 128, j % 128
+            bids[i] = b
+            for lane, cin, vin in rows_data:
                 k = cin.size
                 ks = np.arange(k)
-                pos[i, steps[g] + ks // 8, ks % 8, lane] = cin
-                vals[i, steps[g] + ks // 8, ks % 8, lane] = vin
-        calls.append((build_sell_call(NGc, SG, ntiles, TW, G), SG,
-                      jnp.asarray(winsel), jnp.asarray(stepsarr),
+                pos[i, ks // 8, ks % 8, lane] = cin
+                vals[i, ks // 8, ks % 8, lane] = vin
+        calls.append((build_sell_call(NBc, S, ntiles, TW), S,
+                      jnp.asarray(bids), jnp.asarray(winsel),
                       jnp.asarray(pos), jnp.asarray(vals)))
-        rowmap_all.append(rmap.reshape(-1))
         slab_nnz += int((vals != 0).sum())
         bytes_padded += pos.size * 8
-    rowmaps = [jnp.asarray(r.astype(np.int32)) for r in rowmap_all]
     npad = ntiles * TILE
+    nslots = sum(1 for _ in classes)
 
     def apply_fn(sr_d, sc_d, sv_d, pvec_d, piv_d, *bufs_and_x):
         *flat, x = bufs_and_x
         xp = x[pvec_d]
         xpad = jnp.zeros(npad, DTYPE).at[:x.size].set(xp)
         xtiles = xpad.reshape(ntiles, 8, 128)
-        y = jnp.zeros(x.size + 1, DTYPE)        # +1 dump row slot
-        for ci, (call, SG, *_rest) in enumerate(calls):
-            winsel_d, steps_d, pos_d, vals_d, rmap_d = \
-                flat[5 * ci:5 * ci + 5]
-            out = call(winsel_d, steps_d, pos_d, vals_d, xtiles)
-            y = y.at[rmap_d].set(out.reshape(-1))
-        y = y[:x.size]
+        yb = jnp.zeros((NB, 128), DTYPE)
+        for ci, (call, S, *_rest) in enumerate(calls):
+            bids_d, winsel_d, pos_d, vals_d = flat[4 * ci:4 * ci + 4]
+            out = call(winsel_d, pos_d, vals_d, xtiles)
+            yb = yb.at[bids_d].set(out.reshape(-1, 128))
+        y = yb.reshape(-1)[:x.size]
         if sr_d.size:
             y = y.at[sr_d].add(sv_d * xp[sc_d])
         return y[piv_d]
 
     flat_bufs = []
-    for ci, (_call, _SG, winsel_d, steps_d, pos_d, vals_d) in \
-            enumerate(calls):
-        flat_bufs += [winsel_d, steps_d, pos_d, vals_d, rowmaps[ci]]
+    for (_call, _S, bids_d, winsel_d, pos_d, vals_d) in calls:
+        flat_bufs += [bids_d, winsel_d, pos_d, vals_d]
     bufs = (jnp.asarray(sr.astype(np.int32)),
             jnp.asarray(sc.astype(np.int32)), jnp.asarray(sv, DTYPE),
             jnp.asarray(p.astype(np.int32)),
             jnp.asarray(piv.astype(np.int32)), *flat_bufs)
-    return dict(apply=jax.jit(apply_fn), bufs=bufs, NB=NG * G,
+    return dict(apply=jax.jit(apply_fn), bufs=bufs, NB=NB,
                 S=max(classes), TW=TW, spill=nsp, slab_nnz=slab_nnz,
-                slab_slots=sum(c[4].size for c in calls),
+                slab_slots=sum(
+                    c[4].size for c in calls),
                 bytes_padded=bytes_padded)
 
 

@@ -317,8 +317,7 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = 128,
         while off < pl.rows.size:
             h = _hclass(min(pl.rows.size - off, H_CLASSES[-1]))
             m = min(h, pl.rows.size - off)
-            rows_q = np.full(h, -1, _IDX)
-            rows_q[:m] = pl.rbase + pl.W + off + np.arange(m)
+            rows_q = pl.rbase + pl.W + off + np.arange(m)   # exact size
             trsm_items.setdefault(
                 (pl.level, ("trsm", pl.pool, h, pl.W)), []).append(
                     (pl.pid, rows_q))
@@ -347,21 +346,21 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = 128,
             extra = dict(l0=l0_full)
         off = 0
         K = I_src.size
+        rel_d = int(level[dpid]) + 1
+        dl_s = int(level[spid])
         while off < K:
             h = _hclass(min(K - off, H_CLASSES[-1]))
             m = min(h, K - off)
-            src = np.full(h, -1, _IDX)
-            tg = np.full(h, -1, _IDX)
-            src[:m] = d.rbase + I_src[off:off + m]
-            tg[:m] = s.rbase + I_tgt[off:off + m]
+            # chunks are stored EXACT-size; the xs emission pads (this
+            # loop runs per unit — ~1M times at n=262k — so no np.full)
+            src = d.rbase + I_src[off:off + m]
+            tg = s.rbase + I_tgt[off:off + m]
             u = dict(
                 key=(key[0], key[1], key[2], h, key[4], key[5]),
-                src=src, tgt=tg,
-                rel=int(level[dpid]) + 1, dl=int(level[spid]),
-                **extra)
+                src=src, tgt=tg, rel=rel_d, dl=dl_s, **extra)
             if lu_extras:
                 tgu = tg.copy()
-                tgu[:m][I_dg[off:off + m]] = -1
+                tgu[I_dg[off:off + m]] = -1
                 u["tgtu"] = tgu
             upd_units.append(u)
             off += m
@@ -582,8 +581,7 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = 128,
             for L in range(lo, hi):
                 for ui, (pid, rq) in enumerate(trsm_items.get((L, k), [])):
                     pl = panels[pid]
-                    rows[L - lo, ui] = np.where(
-                        rq >= 0, rq, dump_base[pw] + np.arange(H) % 8)
+                    rows[L - lo, ui, :rq.size] = rq
                     dbs[L - lo, ui] = pl.rbase
             seg.xs[k] = {"rows": rows, "dbase": dbs}
             flops_padded += steps * U * _slot_flops(k)
