@@ -164,12 +164,13 @@ def main():
             f"flops_padded={plan.flops_padded/1e9:.3f}G, "
             f"waste={plan.waste_ratio:.3f}")
         pool0 = {pw: jnp.asarray(v) for pw, v in plan.pool_init.items()}
-        seg_keys = [tuple(sorted(s.xs)) for s in plan.segments]
+        segs_ne = [s for s in plan.segments if s.xs]
+        seg_keys = [tuple(sorted(s.xs)) for s in segs_ne]
         seg_fns = [_segment_factor(k) for k in seg_keys]
         xs_lists = [
             {k: {nm: jnp.asarray(a) for nm, a in s.xs[k].items()}
              for k in ks}
-            for s, ks in zip(plan.segments, seg_keys)]
+            for s, ks in zip(segs_ne, seg_keys)]
 
         def raw_factor(pools, xs_list):
             for fn, xseg in zip(seg_fns, xs_list):

@@ -93,6 +93,8 @@ def main():
         pools = dict(pool0)
         eps = jnp.float32(1e-8 * F._maxabs)
         for si, seg in enumerate(plan.segments):
+            if not seg.xs:
+                continue
             keys = tuple(sorted(seg.xs))
             sig = ("lufactor",) + tuple(
                 (k,) + tuple(a.shape) for k in keys

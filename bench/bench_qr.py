@@ -81,6 +81,8 @@ def main():
     def run_once():
         pools = dict(pool0)
         for si, seg in enumerate(plan.segments):
+            if not seg.xs:
+                continue
             keys = tuple(sorted(seg.xs))
             sig = ("factor",) + tuple(
                 (k,) + tuple(a.shape) for k in keys

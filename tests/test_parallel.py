@@ -132,3 +132,27 @@ def test_sharded_supernodal_solve_and_comm_metrics(rng):
     # not DECREASE with a finer mesh threshold
     cm1 = supernodal_comm_metrics(plan, 1)
     assert cm1["comm_bytes_total"] >= cm["comm_bytes_total"]
+
+
+def test_sharded_superscan_factor(rng):
+    """The flagship scan engine on the mesh: unit batches sharded over
+    devices, result matches the dense oracle."""
+    import jax
+    import jax.numpy as jnp
+    from tpusparse.device.superscan import SuperscanCholesky
+    from tpusparse.parallel import (sharded_superscan_factor,
+                                    superscan_comm_metrics)
+    mesh = make_mesh(4)
+    n = 80
+    A, S = random_spd(rng, n, density=0.15)
+    F = SuperscanCholesky(A, order=1, wmax=16, tau=0.9, small_w=4)
+    factor = sharded_superscan_factor(F.plan, mesh)
+    pools = factor({pw: jnp.asarray(v)
+                    for pw, v in F.plan.pool_init.items()})
+    F.pools = pools
+    b = rng.normal(size=n)
+    x = F.solve_host(b)
+    assert resid(S.toarray(), x, b) < 1e-12
+    cm = superscan_comm_metrics(F.plan, 4)
+    assert cm["comm_bytes_total"] >= 0
+    assert cm["compute_flops_issued"] == F.plan.flops_padded

@@ -83,9 +83,9 @@ def test_not_positive_definite(rng):
 def test_plan_invariants(rng):
     d, A = _spd(rng, 120, 0.1)
     p = plan_superscan(A, order=1, wmax=16, tau=0.9, small_w=4)
-    # segments partition the level axis
+    # segments partition the step axis (levels exploded by load)
     assert p.segments[0].lo == 0
-    assert p.segments[-1].hi == p.nlevels
+    assert p.segments[-1].hi == p.nsteps >= p.nlevels
     for a, b2 in zip(p.segments, p.segments[1:]):
         assert a.hi == b2.lo
     # flop accounting: issued >= true, waste in [0, 1)

@@ -53,6 +53,7 @@ Device (per segment, one jit each, cached by shape signature):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Tuple
 
@@ -149,6 +150,7 @@ class SuperscanPlan:
     pool_init: Dict[int, np.ndarray]        # pool width -> (rows, pw) f32
     segments: List[_Segment]
     nlevels: int
+    nsteps: int                             # levels exploded by load
     flops_true: int
     flops_padded: int
     lnz: int
@@ -305,13 +307,48 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = 128,
     for pl in panels:
         pl.level = int(level[pl.pid])
 
-    # chol items per (level, pool, W); trsm units per (level, key);
+    # ---- explode fat levels into multiple STEPS ---------------------------
+    # per-segment capacities are maxima over the segment's steps, so a
+    # level much fatter than its neighbours would force idle slots
+    # everywhere else (measured occupancy 0.38 at n=262k before this).
+    # Splitting a fat level across ceil(load/median) steps is always
+    # legal (panels at one level are independent); panels round-robin
+    # over the level's steps and their updates inherit the step windows.
+    lvl_load = np.zeros(max(nlevels, 1))
+    for (dpid, spid, I_src, _t, _g, _ls, _lc) in pair_list:
+        lvl_load[level[spid]] += (2.0 * I_src.size
+                                  * max(_pow2(panels[dpid].w), 8)
+                                  * max(_pow2(panels[spid].w), 8))
+    nzl = lvl_load[lvl_load > 0]
+    med = float(np.median(nzl)) if nzl.size else 1.0
+    # MEASURED: splitting multiplies the one-slot-per-step floors faster
+    # than it shrinks capacity variance (median split: 3D 0.49 -> 0.76
+    # waste; 8x-median split: 3D 0.55, 2D 0.87) — so splitting is OFF by
+    # default (split_8x_median=inf keeps steps == levels); the machinery
+    # stays for problems with a single monster level.
+    split_den = float(os.environ.get("TPUSPARSE_SPLIT_MED", "0")) or \
+        float("inf")
+    m_L = np.clip(np.ceil(lvl_load / max(split_den * med, 1.0)),
+                  1, 64).astype(np.int64)[:max(nlevels, 1)]
+    step0 = np.zeros(max(nlevels, 1) + 1, np.int64)
+    np.cumsum(m_L, out=step0[1:])
+    nsteps = int(step0[nlevels]) if nlevels else 0
+    rrob: Dict[Tuple, int] = {}
+    panel_step = np.zeros(len(panels), np.int64)
+    for pl in panels:
+        kk = (pl.level, pl.pool, pl.W)
+        i = rrob.get(kk, 0)
+        rrob[kk] = i + 1
+        panel_step[pl.pid] = step0[pl.level] + (i % m_L[pl.level])
+
+    # chol items per (step, pool, W); trsm units per (step, key);
     # update units: list of dicts with release/deadline for EDF
     chol_items: Dict[Tuple, List] = {}
     trsm_items: Dict[Tuple, List] = {}
     upd_units: List[dict] = []
     for pl in panels:
-        chol_items.setdefault((pl.level, ("chol", pl.pool, pl.W)),
+        st = int(panel_step[pl.pid])
+        chol_items.setdefault((st, ("chol", pl.pool, pl.W)),
                               []).append(pl.rbase)
         off = 0
         while off < pl.rows.size:
@@ -319,7 +356,7 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = 128,
             m = min(h, pl.rows.size - off)
             rows_q = pl.rbase + pl.W + off + np.arange(m)   # exact size
             trsm_items.setdefault(
-                (pl.level, ("trsm", pl.pool, h, pl.W)), []).append(
+                (st, ("trsm", pl.pool, h, pl.W)), []).append(
                     (pl.pid, rows_q))
             off += m
 
@@ -346,8 +383,8 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = 128,
             extra = dict(l0=l0_full)
         off = 0
         K = I_src.size
-        rel_d = int(level[dpid]) + 1
-        dl_s = int(level[spid])
+        rel_d = int(panel_step[dpid]) + 1
+        dl_s = int(panel_step[spid])
         while off < K:
             h = _hclass(min(K - off, H_CLASSES[-1]))
             m = min(h, K - off)
@@ -365,13 +402,13 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = 128,
             upd_units.append(u)
             off += m
 
-    # ---- segmentation (DP over the level axis) -----------------------------
-    # fine per-level, per-phase counts
+    # ---- segmentation (DP over the step axis) ------------------------------
+    # fine per-step, per-phase counts
     fine_keys = sorted({k for (_, k) in chol_items}
                        | {k for (_, k) in trsm_items}
                        | {u["key"] for u in upd_units})
     kidx = {k: i for i, k in enumerate(fine_keys)}
-    CL = np.zeros((max(nlevels, 1), len(fine_keys)), dtype=np.int64)
+    CL = np.zeros((max(nsteps, 1), len(fine_keys)), dtype=np.int64)
     for (L, k), v in chol_items.items():
         CL[L, kidx[k]] += len(v)
     for (L, k), v in trsm_items.items():
@@ -382,9 +419,9 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = 128,
     is_upd = np.array([k[0] in ("upd", "upds") for k in fine_keys])
     Pfx = np.vstack([np.zeros(len(fine_keys)), np.cumsum(CL, axis=0)])
 
-    # candidate boundaries (strided for big level counts)
-    stride = max(1, nlevels // 192)
-    cands = list(range(0, nlevels, stride)) + [nlevels]
+    # candidate boundaries (strided for big step counts)
+    stride = max(1, nsteps // 192)
+    cands = list(range(0, nsteps, stride)) + [nsteps]
     cands = sorted(set(cands))
     B = len(cands)
     # strided per-block max for chol/trsm capacity cost
@@ -592,6 +629,7 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = 128,
     return SuperscanPlan(
         n=n, perm=p, panels=panels, pool_rows=pool_rows,
         pool_init=pool_init, segments=segments, nlevels=nlevels,
+        nsteps=nsteps,
         flops_true=flops_true, flops_padded=flops_padded, lnz=lnz)
 
 
@@ -599,10 +637,15 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = 128,
 _JIT_CACHE: Dict = {}
 
 
-def _segment_factor(seg_keys: Tuple) -> callable:
+def _segment_factor(seg_keys: Tuple, shard_fn=None) -> callable:
     """Shape-generic scan body for one segment: the phase list is
     static; every index array is a runtime input, so the compiled
-    program is reused across matrices with the same signature."""
+    program is reused across matrices with the same signature.
+
+    ``shard_fn`` (optional) is applied to the gathered per-step update
+    batches (axis 0 = units) — the multi-chip driver passes a
+    with_sharding_constraint so GSPMD splits the batched GEMMs over the
+    mesh and all-reduces the scatter-adds (parallel.sharded)."""
 
     def run(pools: Dict[int, jnp.ndarray], xs: Dict):
         def body(pools, x):
@@ -618,6 +661,9 @@ def _segment_factor(seg_keys: Tuple) -> callable:
                                flat_d[jnp.maximum(srci, 0)], 0.0)
                 l0 = jnp.where((l0i >= 0)[..., None],
                                flat_d[jnp.maximum(l0i, 0)], 0.0)
+                if shard_fn is not None:
+                    l1 = shard_fn(l1)
+                    l0 = shard_fn(l0)
                 delta = jnp.einsum("uhw,usw->uhs", l1, l0,
                                    precision=HIGHEST)
                 if kind == "upds":
@@ -682,6 +728,8 @@ def _segment_factor(seg_keys: Tuple) -> callable:
 
 def _factor(plan: SuperscanPlan, pools):
     for seg in plan.segments:
+        if not seg.xs:
+            continue
         keys = tuple(sorted(seg.xs))
         sig = ("factor",) + tuple(
             (k,) + tuple(a.shape) for k in keys
@@ -995,7 +1043,7 @@ class SuperscanCholesky:
         m = Metrics().record_plan("chol", plan)
         m.record(chol_engine="superscan",
                  chol_panels=len(plan.panels),
-                 chol_steps=int(plan.nlevels),
+                 chol_steps=int(plan.nsteps),
                  chol_segments=len(plan.segments),
                  chol_levels=int(plan.nlevels),
                  chol_nnz_predicted=int(plan.lnz))

@@ -281,6 +281,8 @@ class SuperscanLU:
             pools[("U", pw)] = jnp.asarray(self._Up0[pw])
         eps = jnp.float32(1e-8 * self._maxabs)
         for seg in plan.segments:
+            if not seg.xs:
+                continue
             keys = tuple(sorted(seg.xs))
             sig = ("lufactor",) + tuple(
                 (k,) + tuple(a.shape) for k in keys

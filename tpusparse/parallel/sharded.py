@@ -290,6 +290,79 @@ def sharded_supernodal_solve(plan, mesh: Mesh, axis: str = "d") -> Callable:
     return solve
 
 
+def sharded_superscan_factor(plan, mesh: Mesh, axis: str = "d"):
+    """Multi-chip factorization for the scan-ified supernodal engine
+    (the flagship): every segment's per-step update-unit batches are
+    sharded over the mesh on the unit axis (padded to the mesh size
+    with dump units), panels replicated.  Returns factor(pools)."""
+    from ..device.superscan import _JIT_CACHE, _segment_factor
+    nd = mesh.devices.size
+    batch_sh = NamedSharding(mesh, P(axis))
+
+    def shard_fn(xv):
+        if xv.shape[0] % nd == 0 and xv.shape[0] >= nd:
+            return jax.lax.with_sharding_constraint(xv, batch_sh)
+        return xv
+
+    seg_xs = []
+    for seg in plan.segments:
+        xs = {}
+        for k, d in seg.xs.items():
+            if k[0] in ("upd", "upds"):
+                U = d["src"].shape[1]
+                padu = (-U) % nd
+                xs[k] = {
+                    nm: np.pad(a, ((0, 0), (0, padu), (0, 0)),
+                               constant_values=(0 if nm == "cmap"
+                                                else -1))
+                    for nm, a in d.items()}
+            else:
+                xs[k] = d
+        seg_xs.append(xs)
+
+    def factor(pools):
+        import jax.numpy as jnp2
+        for seg, xs in zip(plan.segments, seg_xs):
+            if not xs:
+                continue
+            keys = tuple(sorted(xs))
+            sig = ("shfactor", nd, mesh.axis_names) + tuple(
+                (k,) + tuple(a.shape) for k in keys
+                for a in xs[k].values())
+            if sig not in _JIT_CACHE:
+                _JIT_CACHE[sig] = jax.jit(
+                    _segment_factor(keys, shard_fn=shard_fn))
+            xsd = {k: {nm: jnp2.asarray(a) for nm, a in xs[k].items()}
+                   for k in keys}
+            pools = _JIT_CACHE[sig](pools, xsd)
+        return pools
+
+    return factor
+
+
+def superscan_comm_metrics(plan, n_devices: int) -> dict:
+    """Structural ICI model for the sharded superscan factor: phases
+    whose unit batches shard (U >= mesh) all-reduce their scatter-add
+    deltas — bytes = 4 * steps * U * H * pool_width per phase."""
+    nd = max(int(n_devices), 1)
+    comm = 0
+    flops = int(plan.flops_padded)
+    for seg in plan.segments:
+        steps = seg.hi - seg.lo
+        for k, d in seg.xs.items():
+            if k[0] not in ("upd", "upds"):
+                continue
+            U = d["src"].shape[1]
+            H = d["src"].shape[2]
+            pw = k[2]
+            if U + ((-U) % nd) >= nd and U >= 1:
+                comm += 4 * steps * (U + ((-U) % nd)) * H * pw
+    return {"mesh_devices": nd, "comm_bytes_total": int(comm),
+            "compute_flops_issued": flops,
+            "comm_bytes_per_flop": comm / max(flops, 1),
+            "segments": len(plan.segments)}
+
+
 def supernodal_comm_metrics(plan, n_devices: int) -> dict:
     """STRUCTURAL communication accounting for the sharded supernodal
     factor+solve (no wall-clock: axon timing is non-physical — this is
