@@ -138,3 +138,37 @@ def test_solve_many(rng):
     X = F.solve_many(B)
     for j in range(3):
         assert resid(d, X[:, j], B[:, j]) < 1e-12
+
+
+def test_updown_device_resident(rng):
+    """Superscan rank-1 update/downdate: runs on the flat pools without
+    downloading the factor; round-trips vs fresh factorizations."""
+    import jax
+    d, A = _spd(rng, 36, 0.35)
+    F = SuperscanCholesky(A, order=1, wmax=16, tau=0.9, small_w=4)
+    assert F.factor()
+    # w with the pattern of a column of L (extracted once, host side)
+    L = F.extract_L()
+    k = 18
+    perm = F.plan.perm
+    cols_perm = np.flatnonzero(perm == k) if False else None
+    kp = int(np.flatnonzero(perm == k)[0])
+    widx = perm[L.indices[L.indptr[kp]:L.indptr[kp + 1]]]
+    w = np.zeros(36)
+    w[widx] = rng.random(widx.size)
+    assert F.updown(+1, w)
+    assert all(isinstance(v, jax.Array) for v in F.pools.values())
+    dn = d + np.outer(w, w)
+    b = rng.normal(size=36)
+    x = F.solve_host(b)
+    assert resid(dn, x, b) < 1e-12
+    # downdate back
+    assert F.updown(-1, w)
+    x = F.solve_host(b)
+    assert resid(d, x, b) < 1e-12
+    # failed downdate keeps the old pools and returns False
+    w2 = np.zeros(36)
+    w2[widx] = 40.0 * np.abs(d).max()
+    old = F.pools
+    assert F.updown(-1, w2) is False
+    assert F.pools is old

@@ -430,17 +430,18 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = 128,
         blkmax[bi] = CL[cands[bi]:cands[bi + 1]].max(axis=0)
 
     def seg_cost(bi, bj):
-        """Exact issued-slot flops for segment [cands[bi], cands[bj])."""
+        """Issued-slot flops for segment [cands[bi], cands[bj]).
+
+        Update units mostly have width-1 windows (src and target on
+        adjacent steps), so the EDF capacity is the per-step demand
+        MAX, not ceil(total/steps) — modelling it as the latter made
+        the DP pick boundaries blind to demand spikes (measured: EDF
+        issued 2.3x the ceil model at n=262k).  All phases therefore
+        use the per-step max; EDF can only do better (units with slack
+        smooth below the max)."""
         steps = cands[bj] - cands[bi]
-        N = Pfx[cands[bj]] - Pfx[cands[bi]]
-        cost = 0.0
-        # upd: U = ceil(N/steps) -> issued = U*steps
-        Uu = np.ceil(N[is_upd] / steps)
-        cost += float((Uu * steps * slotf[is_upd]).sum())
-        # chol/trsm: U = max per level in segment
         mx = blkmax[bi:bj].max(axis=0)
-        cost += float((mx[~is_upd] * steps * slotf[~is_upd]).sum())
-        return cost
+        return float((mx * steps * slotf).sum())
 
     # DP with at most max_segments segments
     INF = float("inf")
@@ -490,38 +491,47 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = 128,
         # units of this segment (deadline inside it)
         units = [u for u in upd_units if lo <= u["dl"] < hi]
         # --- greedy phase-menu coarsening --------------------------------
-        cnts: Dict[Tuple, int] = {}
+        # cost model works on PER-STEP DEADLINE DEMAND vectors, not
+        # totals: most units have width-1 windows, so the achievable
+        # capacity is ~max per-step demand — merging phases whose
+        # demand spikes land on DIFFERENT steps smooths the aggregate
+        # even when it inflates per-unit flops (the 2D-chain regime).
+        dem: Dict[Tuple, np.ndarray] = {}
         for u in units:
-            cnts[u["key"]] = cnts.get(u["key"], 0) + 1
-        remap: Dict[Tuple, Tuple] = {k: k for k in cnts}
+            v = dem.get(u["key"])
+            if v is None:
+                v = dem[u["key"]] = np.zeros(steps, np.int64)
+            v[u["dl"] - lo] += 1
+        remap: Dict[Tuple, Tuple] = {k: k for k in dem}
 
-        def issued(k, nn):
-            return np.ceil(nn / steps) * steps * _slot_flops(k)
+        def issued(k, v):
+            return float(v.max()) * steps * _slot_flops(k)
 
+        fine = sorted(dem, key=lambda k: dem[k].sum() * _slot_flops(k))
+        eff: Dict[Tuple, np.ndarray] = {k: v.copy()
+                                        for k, v in dem.items()}
         changed = True
         while changed:
             changed = False
-            eff: Dict[Tuple, int] = {}
-            for k, nn in cnts.items():
-                eff[remap[k]] = eff.get(remap[k], 0) + nn
-            for k in sorted(cnts, key=lambda k: cnts[k]):
+            for k in fine:
                 cur = remap[k]
-                nk = cnts[k]
+                if cur not in eff:
+                    continue
+                vk = dem[k]
                 best, bestgain = cur, 0.0
                 for q in coarser(cur):
-                    if q == cur or q not in eff:
+                    if q == cur or q not in eff or remap.get(q, q) != q:
                         continue
-                    gain = (issued(cur, eff[cur])
-                            + issued(q, eff[q])
-                            - issued(cur, eff[cur] - nk)
-                            - issued(q, eff[q] + nk))
+                    gain = (issued(cur, eff[cur]) + issued(q, eff[q])
+                            - issued(cur, eff[cur] - vk)
+                            - issued(q, eff[q] + vk))
                     if gain > bestgain:
                         best, bestgain = q, gain
                 if best != cur:
-                    eff[cur] -= nk
-                    if eff[cur] == 0:
+                    eff[cur] = eff[cur] - vk
+                    if eff[cur].max() == 0:
                         del eff[cur]
-                    eff[best] = eff.get(best, 0) + nk
+                    eff[best] = eff[best] + vk
                     remap[k] = best
                     changed = True
         # --- EDF assignment of units to steps -----------------------------
@@ -1036,6 +1046,96 @@ class SuperscanCholesky:
                 break
             X = X + solve_f32_many(R)
         return X
+
+    # ------------------------------------------------------------ updown
+    def _updown_sched(self):
+        """Static per-column schedule for the device-resident updown
+        scan over the packed pools (one combined flat vector): for every
+        column, the flat indices of its stored entries and their global
+        rows.  The recurrence is an exact no-op where w is zero, so the
+        scan always covers all n columns — one compile per plan."""
+        if getattr(self, "_ud_sched", None) is not None:
+            return self._ud_sched
+        plan = self.plan
+        n = plan.n
+        pws = sorted(plan.pool_init)
+        off = {}
+        total = 0
+        for pw in pws:
+            off[pw] = total
+            total += plan.pool_init[pw].size
+        H = max((pl.W - 1 + pl.rows.size for pl in plan.panels),
+                default=1)
+        H = max(H, 1)
+        dflat = np.zeros(n, np.int64)
+        colidx = np.full((n, H), total, np.int64)      # pad -> dump slot
+        rowid = np.full((n, H), n, np.int64)
+        for pl in plan.panels:
+            pw = pl.pool
+            for c in range(pl.w):
+                j = pl.c0 + c
+                base = off[pw] + (pl.rbase) * pw + c
+                dflat[j] = base + c * pw
+                q = np.arange(c + 1, pl.W)
+                colidx[j, :q.size] = base + q * pw
+                rows_d = pl.c0 + q
+                rowid[j, :q.size] = np.where(rows_d < pl.c0 + pl.w,
+                                             rows_d, n)
+                m = pl.rows.size
+                colidx[j, q.size:q.size + m] = \
+                    base + (pl.W + np.arange(m)) * pw
+                rowid[j, q.size:q.size + m] = pl.rows
+        self._ud_sched = dict(
+            dflat=jnp.asarray(dflat.astype(np.int32)),
+            colidx=jnp.asarray(colidx.astype(np.int32)),
+            rowid=jnp.asarray(rowid.astype(np.int32)),
+            H=H, total=total, pws=pws, off=off)
+        return self._ud_sched
+
+    _UD_JIT: Dict = {}
+
+    def updown(self, sigma: int, w: np.ndarray) -> bool:
+        """Rank-1 update/downdate of the FACTORED pools in place
+        (reference: csparse::cs_updown) — device-resident: the
+        alpha/beta/gamma path recurrence runs as one lax.scan over the
+        combined flat pools.  w is in ORIGINAL coordinates with pattern
+        contained in a column pattern of L (the demo3 contract)."""
+        from ..core.matrix import csc_from_dense
+        from ..core.ops import add, multiply, transpose
+        from .chol_tpu import TpuCholesky
+        if self.pools is None:
+            raise ValueError("factor() first")
+        plan = self.plan
+        n = plan.n
+        w = np.asarray(w, dtype=np.float64)
+        wp = w[plan.perm]
+        sched = self._updown_sched()
+        key = (1 if sigma > 0 else -1, n, sched["H"], sched["total"])
+        if key not in SuperscanCholesky._UD_JIT:
+            SuperscanCholesky._UD_JIT[key] = jax.jit(
+                TpuCholesky._updown_scan(1 if sigma > 0 else -1))
+        poolf = jnp.concatenate(
+            [self.pools[pw].reshape(-1) for pw in sched["pws"]]
+            + [jnp.zeros(1, jnp.float32)])
+        wpad = jnp.asarray(
+            np.concatenate([wp, [0.0]]).astype(np.float32))
+        poolf, okf = SuperscanCholesky._UD_JIT[key](
+            poolf, wpad, sched["dflat"], sched["colidx"],
+            sched["rowid"])
+        if not bool(okf):
+            return False
+        pools = {}
+        for pw in sched["pws"]:
+            sz = plan.pool_init[pw].size
+            o = sched["off"][pw]
+            pools[pw] = poolf[o:o + sz].reshape(
+                plan.pool_init[pw].shape)
+        self.pools = pools
+        self._Lhost = None                     # invalidate host cache
+        W1 = csc_from_dense(w.reshape(-1, 1))
+        self.A = add(self.A, multiply(W1, transpose(W1)), 1.0,
+                     float(sigma))
+        return True
 
     def metrics(self):
         from ..utils.profiling import Metrics
