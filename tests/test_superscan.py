@@ -151,7 +151,6 @@ def test_updown_device_resident(rng):
     L = F.extract_L()
     k = 18
     perm = F.plan.perm
-    cols_perm = np.flatnonzero(perm == k) if False else None
     kp = int(np.flatnonzero(perm == k)[0])
     widx = perm[L.indices[L.indptr[kp]:L.indptr[kp + 1]]]
     w = np.zeros(36)
