@@ -416,8 +416,6 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = 128,
     for u in upd_units:
         CL[u["dl"], kidx[u["key"]]] += 1
     slotf = np.array([_slot_flops(k) for k in fine_keys], np.float64)
-    is_upd = np.array([k[0] in ("upd", "upds") for k in fine_keys])
-    Pfx = np.vstack([np.zeros(len(fine_keys)), np.cumsum(CL, axis=0)])
 
     # candidate boundaries (strided for big step counts)
     stride = max(1, nsteps // 192)
