@@ -195,7 +195,7 @@ class SuperscanLU:
     should treat a non-converging refinement as singular (lu_tpu does).
     """
 
-    def __init__(self, A: CSCMatrix, order: int = 1, wmax: int = 128,
+    def __init__(self, A: CSCMatrix, order: int = 1, wmax: int = None,
                  tau: float = 0.9, small_w: int = 8,
                  max_segments: int = 10):
         if A.m != A.n:
