@@ -13,9 +13,9 @@ This is the round-2 redesign of the supernodal engine
     as RUNTIME int32 arrays — the chol_tpu scan trick scaled up.
   * issued-flop waste 0.93: update GEMMs were sized to the full target
     panel.  Here every descendant->ancestor update is trimmed to its
-    live intersection rows, chopped into row chunks (H in {8,32,128}),
+    live intersection rows, chopped into pow2 row chunks (H_CLASSES),
     and runs in a GEMM phase sliced to its power-of-two width pair —
-    issued flops track true flops.
+    issued flops track true flops (canonical 3D bench: 0.48).
 
 Storage: TWO flat packed row pools (width 32 and 128), CHOLMOD-style —
 a panel of class width W holds W diagonal rows (identity-padded) plus
@@ -34,14 +34,17 @@ Plan (host, once per pattern):
      supernodes; relaxed amalgamation (tau, small_w); split to pow2
      widths <= wmax; packed two-pool layout.
   2. levels over the panel DAG (level(target) > level(source) for every
-     update pair).  STEPS = LEVELS: panels factor at their level's step.
+     update pair); the STEP axis is the level axis, optionally exploding
+     levels much fatter than the median (off by default — measured
+     worse, see the code comment).
   3. work items:  chol(panel); TRSM od-row chunks; update units
      (d->s): L1 rows = d's od rows >= s.c0 (chopped), L0 rows = d's od
      rows inside s's columns, delta = L1 @ L0^T scatter-added into s.
-  4. dynamic-programming segmentation of the level axis (cost = exact
-     issued slots); per segment: greedy phase-menu coarsening, then
-     EDF assignment of update units to steps inside their dependency
-     window (release = source level + 1, deadline = target level).
+  4. dynamic-programming segmentation of the step axis (cost = per-step
+     demand maxima x slot flops); per segment: demand-aware greedy
+     phase-menu coarsening, then EDF assignment of update units to
+     steps inside their dependency window (release = source step + 1,
+     deadline = target step).
 
 Device (per segment, one jit each, cached by shape signature):
   lax.scan over the segment's levels; body = update phases
@@ -136,8 +139,8 @@ def _slot_flops(key: Tuple) -> int:
 
 @dataclass
 class _Segment:
-    lo: int                                     # first level (= step)
-    hi: int                                     # one past last level
+    lo: int                                     # first step
+    hi: int                                     # one past last step
     xs: Dict[Tuple, Dict[str, np.ndarray]] = field(default_factory=dict)
 
 
