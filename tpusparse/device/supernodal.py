@@ -109,14 +109,11 @@ def _column_patterns(Cu: CSCMatrix, parent, cnt):
     np.add.at(counts_lower, entries, 1)
     colptr = np.zeros(n + 1, dtype=_IDX)
     np.cumsum(counts_lower, out=colptr[1:])
-    colrows = np.zeros(max(int(colptr[-1]), 1), dtype=_IDX)
-    fill = colptr[:-1].copy()
-    for k in range(n):
-        for p in range(rowptr[k], rowptr[k + 1]):
-            j = entries[p]
-            colrows[fill[j]] = k
-            fill[j] += 1
-    # rows per column arrive sorted by k automatically (k ascending)
+    # vectorized inversion: stable argsort by column keeps rows sorted
+    # (entries are laid out row-major, k ascending)
+    rows_of = np.repeat(np.arange(n, dtype=_IDX), np.diff(rowptr))
+    order = np.argsort(entries, kind="stable")
+    colrows = rows_of[order] if entries.size else np.zeros(1, _IDX)
     return colptr, colrows
 
 
