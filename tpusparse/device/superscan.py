@@ -947,6 +947,18 @@ class SuperscanCholesky:
             raise ValueError("matrix is not positive definite")
         return refine(self.A, self._solve_f32, b, iters=refine_iters)
 
+    @staticmethod
+    def _fetch(v, chunk_rows: int = 1 << 19) -> np.ndarray:
+        """Device->host in bounded slices: the axon relay fails on
+        single transfers of very large arrays (measured at the ~400MB
+        pool of the 262k wmax=32 plan)."""
+        if v.shape[0] <= chunk_rows:
+            return np.asarray(v, np.float64)
+        out = np.empty(v.shape, np.float64)
+        for a in range(0, v.shape[0], chunk_rows):
+            out[a:a + chunk_rows] = np.asarray(v[a:a + chunk_rows])
+        return out
+
     def extract_L(self) -> CSCMatrix:
         """Download the factored pools into a host CSC L (permuted
         coordinates, diagonal-first columns, true pattern only)."""
@@ -954,8 +966,7 @@ class SuperscanCholesky:
             raise ValueError("factor() first")
         plan = self.plan
         n = plan.n
-        host = {pw: np.asarray(v, np.float64)
-                for pw, v in self.pools.items()}
+        host = {pw: self._fetch(v) for pw, v in self.pools.items()}
         cols: List[Tuple[np.ndarray, np.ndarray]] = [None] * n
         for pl in plan.panels:
             buf = host[pl.pool]

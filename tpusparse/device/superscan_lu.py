@@ -308,9 +308,10 @@ class SuperscanLU:
         plan = self.plan
         n = plan.n
         from ..core.matrix import COOMatrix
-        hostL = {pw: np.asarray(self.pools[("L", pw)], np.float64)
+        from .superscan import SuperscanCholesky
+        hostL = {pw: SuperscanCholesky._fetch(self.pools[("L", pw)])
                  for pw in plan.pool_init}
-        hostU = {pw: np.asarray(self.pools[("U", pw)], np.float64)
+        hostU = {pw: SuperscanCholesky._fetch(self.pools[("U", pw)])
                  for pw in plan.pool_init}
         li, lj, lx = [], [], []               # L: unit diag + lower
         ui, uj, ux = [], [], []               # U: upper incl diag
