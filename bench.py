@@ -241,15 +241,38 @@ def main():
             return jax.lax.fori_loop(0, REPS, body,
                                      (jnp.float32(0.0), init_out))[1]
 
-        t0 = time.perf_counter()
-        out = factor_loop(pool0, xs_lists)
-        jax.block_until_ready(out)
-        t_compile = time.perf_counter() - t0
-        log(f"device factor: first call (compile+{REPS} runs) "
-            f"{t_compile:.1f}s")
+        # the combined REPS mega-program FAULTS the axon device at large
+        # scale (observed at n=262k: xs 175MB + pools 249MB; the fault
+        # is unrecoverable for the process, so it cannot be retried) —
+        # gate it by working-set size and use the per-segment programs
+        # beyond that
+        ws_bytes = (sum(v.nbytes for v in plan.pool_init.values())
+                    + sum(a.nbytes for s in plan.segments
+                          for d in s.xs.values() for a in d.values()))
+        if ws_bytes < int(os.environ.get("TPUSPARSE_BENCH_COMBINED_MAX",
+                                         str(150 << 20))):
+            t0 = time.perf_counter()
+            out = factor_loop(pool0, xs_lists)
+            jax.block_until_ready(out)
+            t_compile = time.perf_counter() - t0
+            log(f"device factor: first call (compile+{REPS} runs) "
+                f"{t_compile:.1f}s")
 
-        def run_once():
-            return factor_loop(pool0, xs_lists)
+            def run_once():
+                return factor_loop(pool0, xs_lists)
+        else:
+            log(f"working set {ws_bytes>>20}MB — using per-segment "
+                "programs (combined mega-program faults the relay)")
+            from tpusparse.device.superscan import _factor as _ss_factor
+            REPS = 1
+            t0 = time.perf_counter()
+            out = _ss_factor(plan, dict(pool0))
+            jax.block_until_ready(out)
+            t_compile = time.perf_counter() - t0
+            log(f"device factor: per-segment first call {t_compile:.1f}s")
+
+            def run_once():
+                return _ss_factor(plan, dict(pool0))
     else:
         t0 = time.perf_counter()
         out = F._factor(pool0)
