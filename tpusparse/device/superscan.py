@@ -76,6 +76,9 @@ __all__ = ["SuperscanPlan", "plan_superscan", "SuperscanCholesky"]
 _IDX = np.int64
 H_CLASSES = (8, 16, 32, 64, 128)  # update/trsm row-chunk classes
 POOLS = (32, 128)                 # storage row widths
+# column-compressed update thresholds (see plan_superscan)
+_SPARSEJ_RATIO = int(os.environ.get("TPUSPARSE_SPARSEJ_RATIO", "4"))
+_SPARSEJ_CAP = int(os.environ.get("TPUSPARSE_SPARSEJ_CAP", "32"))
 
 
 def _pow2(x: int) -> int:
@@ -375,10 +378,12 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = None,
         wd = max(_pow2(d.w), 8)
         ws = max(_pow2(s.w), 8)
         # column-compressed ("upds") when the live target columns are
-        # sparse: >=4x fewer GEMM flops buys the 2-D element scatter
+        # sparse: >=SPARSEJ_RATIO-x fewer GEMM flops buys the 2-D
+        # element scatter (env-tunable for experiments)
         J = l0_cols.size
         Jp = max(_pow2(J), 8)
-        sparse_cols = Jp * 4 <= ws and Jp <= 32
+        sparse_cols = (Jp * _SPARSEJ_RATIO <= ws
+                       and Jp <= _SPARSEJ_CAP)
         if sparse_cols:
             l0_c = np.full(Jp, -1, _IDX)
             cmap = np.zeros(Jp, _IDX)
