@@ -144,3 +144,38 @@ def test_native_trisolve_parity(rng):
         del os.environ["TPUSPARSE_NO_NATIVE"]
         native._lib = None
     assert np.allclose(x1, x2) and np.allclose(y1, y2)
+
+
+def test_ss_pairs_matches_python(rng):
+    """Native superscan pair builder vs the pure-Python loop: identical
+    plans (schedules compared array-for-array)."""
+    import os
+    import tpusparse.native as native
+    if not native.available():
+        import pytest
+        pytest.skip("no native toolchain")
+    from tpusparse.core import csc_from_dense
+    from tpusparse.device.superscan import plan_superscan
+    for n, dens in ((40, 0.4), (150, 0.08)):
+        d = rng.normal(size=(n, n)) * (rng.random((n, n)) < dens)
+        d = d @ d.T + n * np.eye(n)
+        A = csc_from_dense(d)
+        p_native = plan_superscan(A, order=1, wmax=16, tau=0.9,
+                                  small_w=4)
+        os.environ["TPUSPARSE_NO_NATIVE"] = "1"
+        native._lib = None
+        try:
+            p_python = plan_superscan(A, order=1, wmax=16, tau=0.9,
+                                      small_w=4)
+        finally:
+            del os.environ["TPUSPARSE_NO_NATIVE"]
+            native._lib = None
+        assert p_native.flops_padded == p_python.flops_padded
+        assert p_native.nlevels == p_python.nlevels
+        assert len(p_native.segments) == len(p_python.segments)
+        for sa, sb in zip(p_native.segments, p_python.segments):
+            assert sorted(sa.xs) == sorted(sb.xs)
+            for k in sa.xs:
+                for nm in sa.xs[k]:
+                    assert np.array_equal(sa.xs[k][nm], sb.xs[k][nm]), \
+                        (k, nm)

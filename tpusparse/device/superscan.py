@@ -289,33 +289,63 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = None,
         pool_init[pl.pool][pl.rbase + q, lc] = xx
 
     # ---- levels + work items ----------------------------------------------
+    from .. import native
     level = np.zeros(len(panels), dtype=_IDX)
     pair_list = []
-    for d in panels:
-        if d.rows.size == 0:
-            continue
-        tgt = col2p[d.rows]
-        odpos = np.arange(d.rows.size, dtype=_IDX)
-        for t in np.unique(tgt):
-            s = panels[int(t)]
-            sel = tgt == t
-            l0_cols = d.rows[sel] - s.c0
-            l0_src = d.W + odpos[sel]
-            gesel = d.rows >= s.c0
-            ge_rows = d.rows[gesel]
-            ge_src = d.W + odpos[gesel]
-            in_diag = ge_rows < s.c0 + s.w
-            pos = np.searchsorted(s.rows, ge_rows)
-            found = np.zeros(ge_rows.size, dtype=bool)
-            inb = pos < s.rows.size
-            found[inb] = s.rows[pos[inb]] == ge_rows[inb]
-            ok = in_diag | found
-            I_tgt = np.where(in_diag, ge_rows - s.c0, s.W + pos)[ok]
-            I_src = ge_src[ok]
-            I_dg = in_diag[ok]
-            pair_list.append((d.pid, s.pid, I_src, I_tgt, I_dg,
-                              l0_src, l0_cols))
-            level[s.pid] = max(level[s.pid], level[d.pid] + 1)
+    if native.available() and panels:
+        # C++ twin of the pair loop below (planner.cpp ts_ss_pairs) —
+        # identical output, parity-tested (test_native.py)
+        rows_cat = (np.concatenate([pl.rows for pl in panels])
+                    if any(pl.rows.size for pl in panels)
+                    else np.zeros(0, _IDX))
+        rptr = np.zeros(len(panels) + 1, _IDX)
+        np.cumsum([pl.rows.size for pl in panels], out=rptr[1:])
+        c0a = np.array([pl.c0 for pl in panels], _IDX)
+        wa = np.array([pl.w for pl in panels], _IDX)
+        Wa = np.array([pl.W for pl in panels], _IDX)
+        (prd, prs, Iptr, Lptr, Ipos, Itgt, Idg, Lpos, Lcol,
+         lev) = native.ss_pairs(len(panels), n, c0a, wa, rptr,
+                                rows_cat, col2p)
+        level = lev.astype(_IDX)
+        WdI = np.repeat(Wa[prd], np.diff(Iptr))
+        WsI = np.repeat(Wa[prs], np.diff(Iptr))
+        Isrc_all = Ipos + WdI
+        Itgt_all = np.where(Itgt >= 0, Itgt, WsI + (-Itgt - 1))
+        Idg_all = Idg.astype(bool)
+        Lsrc_all = Lpos + np.repeat(Wa[prd], np.diff(Lptr))
+        for k in range(prd.size):
+            i0, i1 = Iptr[k], Iptr[k + 1]
+            l0_, l1_ = Lptr[k], Lptr[k + 1]
+            pair_list.append((int(prd[k]), int(prs[k]),
+                              Isrc_all[i0:i1], Itgt_all[i0:i1],
+                              Idg_all[i0:i1], Lsrc_all[l0_:l1_],
+                              Lcol[l0_:l1_]))
+    else:
+        for d in panels:
+            if d.rows.size == 0:
+                continue
+            tgt = col2p[d.rows]
+            odpos = np.arange(d.rows.size, dtype=_IDX)
+            for t in np.unique(tgt):
+                s = panels[int(t)]
+                sel = tgt == t
+                l0_cols = d.rows[sel] - s.c0
+                l0_src = d.W + odpos[sel]
+                gesel = d.rows >= s.c0
+                ge_rows = d.rows[gesel]
+                ge_src = d.W + odpos[gesel]
+                in_diag = ge_rows < s.c0 + s.w
+                pos = np.searchsorted(s.rows, ge_rows)
+                found = np.zeros(ge_rows.size, dtype=bool)
+                inb = pos < s.rows.size
+                found[inb] = s.rows[pos[inb]] == ge_rows[inb]
+                ok = in_diag | found
+                I_tgt = np.where(in_diag, ge_rows - s.c0, s.W + pos)[ok]
+                I_src = ge_src[ok]
+                I_dg = in_diag[ok]
+                pair_list.append((d.pid, s.pid, I_src, I_tgt, I_dg,
+                                  l0_src, l0_cols))
+                level[s.pid] = max(level[s.pid], level[d.pid] + 1)
     nlevels = int(level.max()) + 1 if panels else 0
     for pl in panels:
         pl.level = int(level[pl.pid])

@@ -16,7 +16,8 @@ import sys
 import numpy as np
 
 __all__ = ["available", "etree", "post", "counts", "amd_core",
-           "rowpatterns", "chol_numeric", "lsolve", "ltsolve"]
+           "rowpatterns", "chol_numeric", "lsolve", "ltsolve",
+           "ss_pairs"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_HERE, "libtsplanner.so")
@@ -61,6 +62,9 @@ def _load():
     lib.ts_chol_numeric.restype = ctypes.c_long
     lib.ts_lsolve.argtypes = [I, IP, IP, DP, DP]
     lib.ts_ltsolve.argtypes = [I, IP, IP, DP, DP]
+    lib.ts_ss_pairs.argtypes = [I, I, IP, IP, IP, IP, IP, ctypes.c_int,
+                                IP, IP, IP, IP, IP, IP, IP, IP, IP, IP,
+                                IP]
     _lib = lib
     return lib
 
@@ -144,3 +148,33 @@ def ltsolve(Lp, Li, Lx, b):
     lib.ts_ltsolve(len(Lp) - 1, _c64(Lp), _c64(Li),
                    np.ascontiguousarray(Lx, np.float64), x)
     return x
+
+
+def ss_pairs(npan, n, c0, w, rowptr, rows, col2p):
+    """Superscan update-pair construction (see planner.cpp ts_ss_pairs).
+    Returns (pr_d, pr_s, Iptr, Lptr, I_pos, I_tgt, I_dg, L_pos, L_col,
+    levels) — local coordinates, I_tgt < 0 encodes od position -(q+1)."""
+    lib = _load()
+    c0 = _c64(c0); w = _c64(w); rowptr = _c64(rowptr)
+    rows = _c64(rows); col2p = _c64(col2p)
+    sizes = np.zeros(3, dtype=np.int64)
+    z = np.zeros(1, dtype=np.int64)
+    lib.ts_ss_pairs(npan, n, c0, w, rowptr, rows, col2p, 0, sizes,
+                    z, z, z, z, z, z, z, z, z, z)
+    npairs, nI, nL = (int(x) for x in sizes)
+    pr_d = np.empty(max(npairs, 1), np.int64)
+    pr_s = np.empty(max(npairs, 1), np.int64)
+    Iptr = np.empty(npairs + 1, np.int64)
+    Lptr = np.empty(npairs + 1, np.int64)
+    I_pos = np.empty(max(nI, 1), np.int64)
+    I_tgt = np.empty(max(nI, 1), np.int64)
+    I_dg = np.empty(max(nI, 1), np.int64)
+    L_pos = np.empty(max(nL, 1), np.int64)
+    L_col = np.empty(max(nL, 1), np.int64)
+    levels = np.empty(max(npan, 1), np.int64)
+    lib.ts_ss_pairs(npan, n, c0, w, rowptr, rows, col2p, 1, sizes,
+                    pr_d, pr_s, Iptr, Lptr, I_pos, I_tgt, I_dg,
+                    L_pos, L_col, levels)
+    return (pr_d[:npairs], pr_s[:npairs], Iptr, Lptr, I_pos[:nI],
+            I_tgt[:nI], I_dg[:nI], L_pos[:nL], L_col[:nL],
+            levels[:npan])

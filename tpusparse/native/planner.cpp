@@ -558,3 +558,84 @@ void ts_ltsolve(i64 n, const i64 *Lp, const i64 *Li, const double *Lx,
 }
 
 }  // extern "C"
+
+// ------------------------------------------------- superscan pair builder
+extern "C" {
+
+// Update-pair construction for the scan-ified supernodal scheduler
+// (mirrors the python pair loop in tpusparse.device.superscan.
+// plan_superscan).  Panels are contiguous column ranges ordered by c0,
+// so col2p over each panel's SORTED od rows is non-decreasing: targets
+// appear as runs, in the same (sorted) order numpy.unique yields.
+//
+// mode 0: count -> sizes[3] = {npairs, nI, nL}
+// mode 1: fill  -> pr_d/pr_s (npairs), pr_Iptr/pr_Lptr (npairs+1),
+//   I_pos (od position in d), I_tgt (>=0: diag-local row; <0: od
+//   position q encoded as -(q+1)), I_dg, L_pos (od position in d),
+//   L_col (target-local column), levels[npan].
+void ts_ss_pairs(i64 npan, i64 n, const i64 *c0, const i64 *w,
+                 const i64 *rowptr, const i64 *rows, const i64 *col2p,
+                 int mode, i64 *sizes, i64 *pr_d, i64 *pr_s,
+                 i64 *pr_Iptr, i64 *pr_Lptr, i64 *I_pos, i64 *I_tgt,
+                 i64 *I_dg, i64 *L_pos, i64 *L_col, i64 *levels) {
+  i64 np_ = 0, nI = 0, nL = 0;
+  std::vector<i64> lev(npan, 0);
+  for (i64 d = 0; d < npan; d++) {
+    const i64 a = rowptr[d], b = rowptr[d + 1];
+    i64 i = a;
+    while (i < b) {
+      const i64 t = col2p[rows[i]];
+      i64 j = i;
+      while (j < b && col2p[rows[j]] == t) j++;
+      if (mode == 1) {
+        pr_d[np_] = d;
+        pr_s[np_] = t;
+        pr_Iptr[np_] = nI;
+        pr_Lptr[np_] = nL;
+      }
+      for (i64 p = i; p < j; p++) {
+        if (mode == 1) {
+          L_pos[nL] = p - a;
+          L_col[nL] = rows[p] - c0[t];
+        }
+        nL++;
+      }
+      const i64 tc0 = c0[t], tw = w[t];
+      const i64 *ta = rows + rowptr[t];
+      const i64 *tb = rows + rowptr[t + 1];
+      for (i64 p = i; p < b; p++) {
+        const i64 r = rows[p];
+        i64 q, dg;
+        if (r < tc0 + tw) {
+          q = r - tc0;
+          dg = 1;
+        } else {
+          const i64 *lo = std::lower_bound(ta, tb, r);
+          if (lo == tb || *lo != r) continue;    // structurally absent
+          q = -((lo - ta) + 1);
+          dg = 0;
+        }
+        if (mode == 1) {
+          I_pos[nI] = p - a;
+          I_tgt[nI] = q;
+          I_dg[nI] = dg;
+        }
+        nI++;
+      }
+      if (lev[t] < lev[d] + 1) lev[t] = lev[d] + 1;
+      np_++;
+      i = j;
+    }
+  }
+  if (mode == 0) {
+    sizes[0] = np_;
+    sizes[1] = nI;
+    sizes[2] = nL;
+  } else {
+    pr_Iptr[np_] = nI;
+    pr_Lptr[np_] = nL;
+    for (i64 k = 0; k < npan; k++) levels[k] = lev[k];
+  }
+}
+
+}  // extern "C"
