@@ -67,6 +67,26 @@ def grid_spd_3d(g: int):
     return CSCMatrix(n, n, A.indptr, A.indices, A.data), A
 
 
+def grid_spd_3d_dof(g: int, dof: int):
+    """Vector 7-point Laplacian: kron(L3d, C) + I with a dense SPD
+    dof x dof coupling block C — the elasticity-class family whose
+    supernodes are dof-x wider (BASELINE.json configs[4] at MXU
+    scale)."""
+    import scipy.sparse as sp
+
+    _, L = grid_spd_3d(g)
+    rngc = np.random.default_rng(3)
+    Cb = rngc.normal(size=(dof, dof))
+    Cb = Cb @ Cb.T + dof * np.eye(dof)
+    A = sp.kron(L, sp.csc_matrix(Cb), format="csc")
+    A = (A + sp.eye(A.shape[0])).tocsc()
+    A.sort_indices()
+    from tpusparse.core import CSCMatrix
+
+    return CSCMatrix(A.shape[0], A.shape[0], A.indptr, A.indices,
+                     A.data), A
+
+
 def main():
     if os.environ.get("TPUSPARSE_BENCH_CPU"):
         os.environ.setdefault("XLA_FLAGS",
@@ -100,7 +120,11 @@ def main():
     # device ordering: 0 keeps the band -> dense tiles (low padding waste);
     # the host baseline uses its own best ordering (AMD) — best vs best
     dev_order = int(os.environ.get("TPUSPARSE_BENCH_ORDER", "0"))
-    if dims == "3d":
+    dof = int(os.environ.get("TPUSPARSE_BENCH_DOF", "1"))
+    if dims == "3d" and dof > 1:
+        g = int(round((target_n / dof) ** (1.0 / 3.0)))
+        A, S = grid_spd_3d_dof(g, dof)
+    elif dims == "3d":
         g = int(round(target_n ** (1.0 / 3.0)))
         A, S = grid_spd_3d(g)
     else:
