@@ -32,7 +32,7 @@ coupling is host-side anyway), wrapped in iterative refinement.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +42,7 @@ from ..core.matrix import CSCMatrix
 from ..core.ops import add, permute, transpose
 from ..core.perm import ipvec, pvec, pinv as _pinv
 from .config import HIGHEST
-from .superscan import SuperscanPlan, plan_superscan, _IDX
+from .superscan import plan_superscan, _IDX
 
 __all__ = ["SuperscanLU"]
 
