@@ -99,6 +99,16 @@ def _poolw(W: int) -> int:
     return POOLS[0] if W <= POOLS[0] else POOLS[1]
 
 
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """Concatenated [0..c) ranges (the ragged-arange trick)."""
+    counts = np.asarray(counts, _IDX)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, _IDX)
+    starts = np.cumsum(counts) - counts
+    return np.arange(total, dtype=_IDX) - np.repeat(starts, counts)
+
+
 def _split_widths(w: int, wmax: int) -> List[int]:
     out = []
     while w > 0:
@@ -228,6 +238,20 @@ def _build_panels(n, parent, cnt, colptr, colrows, wmax, tau, small_w):
     return panels, col2p
 
 
+def _plan_tic(label, _state={"t": None}):
+    """Env-gated (TPUSPARSE_PLAN_TIMING=1) section timer for
+    plan_superscan — prints elapsed time since the previous tic."""
+    import sys
+    import time as _time
+    if not os.environ.get("TPUSPARSE_PLAN_TIMING"):
+        return
+    now = _time.perf_counter()
+    if _state["t"] is not None:
+        print(f"plan[{label}]: {now - _state['t']:.2f}s",
+              file=sys.stderr, flush=True)
+    _state["t"] = now
+
+
 def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = None,
                    tau: float = 0.9, small_w: int = 8,
                    max_segments: int = 10,
@@ -241,12 +265,15 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = None,
     engine can scatter its U-side deltas without double-counting the
     diagonal block (see superscan_lu)."""
     n = A.n
+    _plan_tic("start")
     p, piv, parent, cnt, colptr, colrows = _symbolic(A, order)
+    _plan_tic("symbolic")
     if wmax is None:
         mean_fill = int(cnt.sum()) / max(n, 1)
         wmax = int(np.clip(_pow2(max(int(mean_fill) // 2, 1)), 32, 128))
     panels, col2p = _build_panels(n, parent, cnt, colptr, colrows,
                                   wmax, tau, small_w)
+    _plan_tic("build_panels")
 
     # ---- storage layout: packed rows, two pools ---------------------------
     pool_rows = {pw: 0 for pw in POOLS}
@@ -288,23 +315,33 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = None,
                      pl.W + np.searchsorted(pl.rows, ii))
         pool_init[pl.pool][pl.rbase + q, lc] = xx
 
-    # ---- levels + work items ----------------------------------------------
+    _plan_tic("init_scatter")
+    # ---- levels + work items (flat pair arrays) ----------------------------
+    # pairs: prd/prs (P,); Iptr (P+1,) ranges into Isrc_all / Itgt_all /
+    # Idg_all (the update rows, pool-local); Lptr (P+1,) ranges into
+    # Lsrc_all / Lcol (the per-pair L0 rows and target-local columns).
+    # Everything downstream is vectorized over these arrays — the
+    # round-2 per-unit dict pipeline cost 14 s of the 33 s plan at
+    # n=262k (ROADMAP round-3 item 2).
     from .. import native
-    level = np.zeros(len(panels), dtype=_IDX)
-    pair_list = []
+    npan = len(panels)
+    rbase_a = np.array([pl.rbase for pl in panels], _IDX)
+    pool_a = np.array([pl.pool for pl in panels], _IDX)
+    Wp_a = np.array([max(_pow2(pl.w), 8) for pl in panels], _IDX)
+    level = np.zeros(max(npan, 1), dtype=_IDX)
     if native.available() and panels:
-        # C++ twin of the pair loop below (planner.cpp ts_ss_pairs) —
-        # identical output, parity-tested (test_native.py)
+        # C++ pair construction (planner.cpp ts_ss_pairs) — identical
+        # output to the Python fallback, parity-tested (test_native.py)
         rows_cat = (np.concatenate([pl.rows for pl in panels])
                     if any(pl.rows.size for pl in panels)
                     else np.zeros(0, _IDX))
-        rptr = np.zeros(len(panels) + 1, _IDX)
+        rptr = np.zeros(npan + 1, _IDX)
         np.cumsum([pl.rows.size for pl in panels], out=rptr[1:])
         c0a = np.array([pl.c0 for pl in panels], _IDX)
         wa = np.array([pl.w for pl in panels], _IDX)
         Wa = np.array([pl.W for pl in panels], _IDX)
         (prd, prs, Iptr, Lptr, Ipos, Itgt, Idg, Lpos, Lcol,
-         lev) = native.ss_pairs(len(panels), n, c0a, wa, rptr,
+         lev) = native.ss_pairs(npan, n, c0a, wa, rptr,
                                 rows_cat, col2p)
         level = lev.astype(_IDX)
         WdI = np.repeat(Wa[prd], np.diff(Iptr))
@@ -313,14 +350,9 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = None,
         Itgt_all = np.where(Itgt >= 0, Itgt, WsI + (-Itgt - 1))
         Idg_all = Idg.astype(bool)
         Lsrc_all = Lpos + np.repeat(Wa[prd], np.diff(Lptr))
-        for k in range(prd.size):
-            i0, i1 = Iptr[k], Iptr[k + 1]
-            l0_, l1_ = Lptr[k], Lptr[k + 1]
-            pair_list.append((int(prd[k]), int(prs[k]),
-                              Isrc_all[i0:i1], Itgt_all[i0:i1],
-                              Idg_all[i0:i1], Lsrc_all[l0_:l1_],
-                              Lcol[l0_:l1_]))
     else:
+        pr_d, pr_s = [], []
+        I_srcs, I_tgts, I_dgs, L_srcs, L_cols = [], [], [], [], []
         for d in panels:
             if d.rows.size == 0:
                 continue
@@ -340,12 +372,35 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = None,
                 inb = pos < s.rows.size
                 found[inb] = s.rows[pos[inb]] == ge_rows[inb]
                 ok = in_diag | found
-                I_tgt = np.where(in_diag, ge_rows - s.c0, s.W + pos)[ok]
-                I_src = ge_src[ok]
-                I_dg = in_diag[ok]
-                pair_list.append((d.pid, s.pid, I_src, I_tgt, I_dg,
-                                  l0_src, l0_cols))
+                pr_d.append(d.pid)
+                pr_s.append(s.pid)
+                I_srcs.append(ge_src[ok])
+                I_tgts.append(np.where(in_diag, ge_rows - s.c0,
+                                       s.W + pos)[ok])
+                I_dgs.append(in_diag[ok])
+                L_srcs.append(l0_src)
+                L_cols.append(l0_cols)
                 level[s.pid] = max(level[s.pid], level[d.pid] + 1)
+        prd = np.array(pr_d, _IDX)
+        prs = np.array(pr_s, _IDX)
+        Iptr = np.zeros(prd.size + 1, _IDX)
+        np.cumsum([a.size for a in I_srcs], out=Iptr[1:])
+        Lptr = np.zeros(prd.size + 1, _IDX)
+        np.cumsum([a.size for a in L_srcs], out=Lptr[1:])
+
+        def _cat(lst, dt):
+            return (np.concatenate(lst).astype(dt) if lst
+                    else np.zeros(0, dt))
+
+        Isrc_all = _cat(I_srcs, _IDX)
+        Itgt_all = _cat(I_tgts, _IDX)
+        Idg_all = _cat(I_dgs, bool)
+        Lsrc_all = _cat(L_srcs, _IDX)
+        Lcol = _cat(L_cols, _IDX)
+    P = int(prd.size)
+    Kp = np.diff(Iptr)                          # per-pair update rows
+    Jp_true = np.diff(Lptr)                     # per-pair L0 columns
+    _plan_tic("pairs")
     nlevels = int(level.max()) + 1 if panels else 0
     for pl in panels:
         pl.level = int(level[pl.pid])
@@ -358,10 +413,11 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = None,
     # legal (panels at one level are independent); panels round-robin
     # over the level's steps and their updates inherit the step windows.
     lvl_load = np.zeros(max(nlevels, 1))
-    for (dpid, spid, I_src, _t, _g, _ls, _lc) in pair_list:
-        lvl_load[level[spid]] += (2.0 * I_src.size
-                                  * max(_pow2(panels[dpid].w), 8)
-                                  * max(_pow2(panels[spid].w), 8))
+    if P:
+        wd_pair = Wp_a[prd]
+        ws_pair = Wp_a[prs]
+        np.add.at(lvl_load, level[prs],
+                  2.0 * Kp * wd_pair * ws_pair)
     nzl = lvl_load[lvl_load > 0]
     med = float(np.median(nzl)) if nzl.size else 1.0
     # MEASURED: splitting multiplies the one-slot-per-step floors faster
@@ -384,11 +440,10 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = None,
         rrob[kk] = i + 1
         panel_step[pl.pid] = step0[pl.level] + (i % m_L[pl.level])
 
-    # chol items per (step, pool, W); trsm units per (step, key);
-    # update units: list of dicts with release/deadline for EDF
+    _plan_tic("steps")
+    # chol items per (step, pool, W); trsm units per (step, key)
     chol_items: Dict[Tuple, List] = {}
     trsm_items: Dict[Tuple, List] = {}
-    upd_units: List[dict] = []
     for pl in panels:
         st = int(panel_step[pl.pid])
         chol_items.setdefault((st, ("chol", pl.pool, pl.W)),
@@ -403,63 +458,68 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = None,
                     (pl.pid, rows_q))
             off += m
 
-    for (dpid, spid, I_src, I_tgt, I_dg, l0_src, l0_cols) in pair_list:
-        d, s = panels[dpid], panels[spid]
-        wd = max(_pow2(d.w), 8)
-        ws = max(_pow2(s.w), 8)
-        # column-compressed ("upds") when the live target columns are
-        # sparse: >=SPARSEJ_RATIO-x fewer GEMM flops buys the 2-D
-        # element scatter (env-tunable for experiments)
-        J = l0_cols.size
-        Jp = max(_pow2(J), 8)
-        sparse_cols = (Jp * _SPARSEJ_RATIO <= ws
-                       and Jp <= _SPARSEJ_CAP)
-        if sparse_cols:
-            l0_c = np.full(Jp, -1, _IDX)
-            cmap = np.zeros(Jp, _IDX)
-            l0_c[:J] = d.rbase + l0_src
-            cmap[:J] = l0_cols
-            key = ("upds", d.pool, s.pool, None, wd, Jp)
-            extra = dict(l0=l0_c, cmap=cmap)
-        else:
-            l0_full = np.full(ws, -1, _IDX)
-            l0_full[l0_cols] = d.rbase + l0_src
-            key = ("upd", d.pool, s.pool, None, wd, ws)
-            extra = dict(l0=l0_full)
-        off = 0
-        K = I_src.size
-        rel_d = int(panel_step[dpid]) + 1
-        dl_s = int(panel_step[spid])
-        while off < K:
-            h = _hclass(min(K - off, H_CLASSES[-1]))
-            m = min(h, K - off)
-            # chunks are stored EXACT-size; the xs emission pads (this
-            # loop runs per unit — ~1M times at n=262k — so no np.full)
-            src = d.rbase + I_src[off:off + m]
-            tg = s.rbase + I_tgt[off:off + m]
-            u = dict(
-                key=(key[0], key[1], key[2], h, key[4], key[5]),
-                src=src, tgt=tg, rel=rel_d, dl=dl_s, **extra)
-            if lu_extras:
-                tgu = tg.copy()
-                tgu[I_dg[off:off + m]] = -1
-                u["tgtu"] = tgu
-            upd_units.append(u)
-            off += m
+    # ---- update units as flat parallel arrays ------------------------------
+    # one unit = one <=128-row chunk of one pair; u_* arrays carry its
+    # pair id, row offset, true row count, phase-key id, and its EDF
+    # release/deadline steps.  No per-unit Python objects.
+    HMAX = H_CLASSES[-1]
+    if P:
+        Jp2 = np.maximum(
+            1 << np.ceil(np.log2(np.maximum(Jp_true, 1))).astype(_IDX),
+            8)
+        sparse_p = ((Jp2 * _SPARSEJ_RATIO <= ws_pair)
+                    & (Jp2 <= _SPARSEJ_CAP))
+        wsJ_pair = np.where(sparse_p, Jp2, ws_pair)
+        rel_pair = panel_step[prd] + 1
+        dl_pair = panel_step[prs]
+        nck = -(-Kp // HMAX)
+        NU = int(nck.sum())
+        u_pair = np.repeat(np.arange(P, dtype=_IDX), nck)
+        ck0 = np.cumsum(nck) - nck
+        u_off = (np.arange(NU, dtype=_IDX)
+                 - np.repeat(ck0, nck)) * HMAX
+        u_m = np.minimum(Kp[u_pair] - u_off, HMAX)
+        lg_h = np.ceil(np.log2(np.maximum(u_m, 8))).astype(_IDX)
 
+        def _lg(a):
+            return np.round(np.log2(a)).astype(_IDX)
+
+        code = ((sparse_p[u_pair].astype(_IDX) << 20)
+                | ((pool_a[prd][u_pair] == POOLS[1]).astype(_IDX) << 19)
+                | ((pool_a[prs][u_pair] == POOLS[1]).astype(_IDX) << 18)
+                | (lg_h << 12) | (_lg(wd_pair[u_pair]) << 6)
+                | _lg(wsJ_pair[u_pair]))
+        ucodes, u_kid = np.unique(code, return_inverse=True)
+        ukeys = []
+        for c in ucodes:
+            c = int(c)
+            ukeys.append(("upds" if (c >> 20) & 1 else "upd",
+                          POOLS[(c >> 19) & 1], POOLS[(c >> 18) & 1],
+                          1 << ((c >> 12) & 63), 1 << ((c >> 6) & 63),
+                          1 << (c & 63)))
+        u_rel = rel_pair[u_pair]
+        u_dl = dl_pair[u_pair]
+    else:
+        NU = 0
+        u_pair = u_off = u_m = u_kid = u_rel = u_dl = \
+            np.zeros(0, _IDX)
+        ukeys = []
+
+    _plan_tic("units")
     # ---- segmentation (DP over the step axis) ------------------------------
     # fine per-step, per-phase counts
     fine_keys = sorted({k for (_, k) in chol_items}
                        | {k for (_, k) in trsm_items}
-                       | {u["key"] for u in upd_units})
+                       | set(ukeys))
     kidx = {k: i for i, k in enumerate(fine_keys)}
     CL = np.zeros((max(nsteps, 1), len(fine_keys)), dtype=np.int64)
     for (L, k), v in chol_items.items():
         CL[L, kidx[k]] += len(v)
     for (L, k), v in trsm_items.items():
         CL[L, kidx[k]] += len(v)
-    for u in upd_units:
-        CL[u["dl"], kidx[u["key"]]] += 1
+    if NU:
+        ukid2fine = np.array([kidx[k] for k in ukeys], np.int64)
+        np.add.at(CL, (u_dl, ukid2fine[u_kid]), 1)
     slotf = np.array([_slot_flops(k) for k in fine_keys], np.float64)
 
     # candidate boundaries (strided for big step counts)
@@ -506,6 +566,7 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = None,
         sbest -= 1
     bnds = [cands[b] for b in reversed(bnds)]
 
+    _plan_tic("dp")
     # ---- per segment: menu coarsening + EDF + emission ---------------------
     segments: List[_Segment] = []
     flops_padded = 0
@@ -527,24 +588,29 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = None,
                 w2 *= 2
         return outs
 
+    # units pre-sorted by deadline: each segment is a contiguous slice
+    order_u = (np.argsort(u_dl, kind="stable") if NU
+               else np.zeros(0, _IDX))
+    dl_sorted = u_dl[order_u]
+
     for si in range(len(bnds) - 1):
         lo, hi = bnds[si], bnds[si + 1]
         steps = hi - lo
         seg = _Segment(lo=lo, hi=hi)
-        # units of this segment (deadline inside it)
-        units = [u for u in upd_units if lo <= u["dl"] < hi]
+        a0, a1 = np.searchsorted(dl_sorted, [lo, hi])
+        seg_u = order_u[a0:a1]           # this segment's units, dl order
         # --- greedy phase-menu coarsening --------------------------------
         # cost model works on PER-STEP DEADLINE DEMAND vectors, not
         # totals: most units have width-1 windows, so the achievable
         # capacity is ~max per-step demand — merging phases whose
         # demand spikes land on DIFFERENT steps smooths the aggregate
         # even when it inflates per-unit flops (the 2D-chain regime).
-        dem: Dict[Tuple, np.ndarray] = {}
-        for u in units:
-            v = dem.get(u["key"])
-            if v is None:
-                v = dem[u["key"]] = np.zeros(steps, np.int64)
-            v[u["dl"] - lo] += 1
+        DEM = np.zeros((max(len(ukeys), 1), steps), np.int64)
+        if seg_u.size:
+            np.add.at(DEM, (u_kid[seg_u], u_dl[seg_u] - lo), 1)
+        dem: Dict[Tuple, np.ndarray] = {
+            ukeys[i]: DEM[i] for i in range(len(ukeys))
+            if DEM[i].any()}
         remap: Dict[Tuple, Tuple] = {k: k for k in dem}
 
         def issued(k, v):
@@ -577,78 +643,111 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = None,
                     eff[best] = eff[best] + vk
                     remap[k] = best
                     changed = True
-        # --- EDF assignment of units to steps -----------------------------
-        by_phase: Dict[Tuple, List] = {}
-        for u in units:
-            by_phase.setdefault(remap[u["key"]], []).append(u)
-        assign: Dict[Tuple, List[List]] = {}
-        caps: Dict[Tuple, int] = {}
-        for k, us in by_phase.items():
-            us.sort(key=lambda u: u["dl"])
-            # lower bound on capacity from deadline demand (vectorized)
-            dls = np.array([u["dl"] for u in us])
-            demand = np.cumsum(np.bincount(dls - lo, minlength=steps))
-            U = max(1, int(np.ceil(demand / np.arange(1, steps + 1))
-                           .max()))
-            while True:
-                # earliest-feasible placement via union-find "next free
-                # step >= t" with path compression (EDF greedy)
-                nxt = np.arange(steps + 1, dtype=np.int64)
-                fill = np.zeros(steps, dtype=np.int64)
-                slots = [[] for _ in range(steps)]
+        # --- group units by final phase (selection keeps dl order) -------
+        fin_of_kid = np.full(max(len(ukeys), 1), -1, np.int64)
+        fin_keys_seg: List[Tuple] = []
+        fin_index: Dict[Tuple, int] = {}
+        for i, k in enumerate(ukeys):
+            if k not in dem:
+                continue
+            fk = remap[k]
+            if fk not in fin_index:
+                fin_index[fk] = len(fin_keys_seg)
+                fin_keys_seg.append(fk)
+            fin_of_kid[i] = fin_index[fk]
+        fi_seg = (fin_of_kid[u_kid[seg_u]] if seg_u.size
+                  else np.zeros(0, np.int64))
+        for f, fkey in enumerate(fin_keys_seg):
+            us_idx = seg_u[fi_seg == f]
+            # --- EDF assignment of units to steps -------------------------
+            rel_arr = np.maximum(u_rel[us_idx], lo) - lo
+            dl_arr = u_dl[us_idx] - lo
+            demand = np.cumsum(np.bincount(dl_arr, minlength=steps))
+            U0 = max(1, int(np.ceil(demand
+                                    / np.arange(1, steps + 1)).max()))
+            from .. import native as _nat
+            if _nat.available():
+                U, step_of = _nat.edf(steps, rel_arr, dl_arr, U0)
+            else:
+                # Python twin of planner.cpp ts_edf: earliest-feasible
+                # placement via union-find "next free step >= t"
+                U = U0
+                while True:
+                    nxt = np.arange(steps + 1, dtype=np.int64)
+                    fill = np.zeros(steps, dtype=np.int64)
+                    step_of = np.empty(us_idx.size, np.int64)
 
-                def find(t):
-                    root = t
-                    while nxt[root] != root:
-                        root = nxt[root]
-                    while nxt[t] != root:
-                        nxt[t], t = root, nxt[t]
-                    return root
+                    def find(t):
+                        root = t
+                        while nxt[root] != root:
+                            root = nxt[root]
+                        while nxt[t] != root:
+                            nxt[t], t = root, nxt[t]
+                        return root
 
-                okall = True
-                for u in us:
-                    t0 = max(u["rel"], lo) - lo
-                    t = find(t0)
-                    if t > u["dl"] - lo:
-                        okall = False
+                    okall = True
+                    for i in range(us_idx.size):
+                        t = find(int(rel_arr[i]))
+                        if t > dl_arr[i]:
+                            okall = False
+                            break
+                        step_of[i] = t
+                        fill[t] += 1
+                        if fill[t] == U:
+                            nxt[t] = t + 1
+                    if okall:
                         break
-                    slots[t].append(u)
-                    fill[t] += 1
-                    if fill[t] == U:
-                        nxt[t] = t + 1
-                if okall:
-                    break
-                U += max(1, U // 4)
-            assign[k] = slots
-            caps[k] = U
-        # --- emit xs -------------------------------------------------------
-        for k, slots in assign.items():
-            U = caps[k]
-            kind, pd, ps, H, Wd, Ws = k
-            src = np.full((steps, U, H), -1, np.int32)
-            tg = np.full((steps, U, H), -1, np.int32)
-            l0 = np.full((steps, U, Ws), -1, np.int32)
-            cmap = (np.zeros((steps, U, Ws), np.int32)
-                    if kind == "upds" else None)
-            tgu = (np.full((steps, U, H), -1, np.int32)
-                   if lu_extras else None)
-            for t, lst in enumerate(slots):
-                for ui, u in enumerate(lst):
-                    hh = u["src"].shape[0]
-                    src[t, ui, :hh] = u["src"]
-                    tg[t, ui, :hh] = u["tgt"]
-                    ww = u["l0"].shape[0]
-                    l0[t, ui, :ww] = u["l0"]
-                    if kind == "upds":
-                        cmap[t, ui, :ww] = u["cmap"]
-                    if lu_extras:
-                        tgu[t, ui, :hh] = u["tgtu"]
-            seg.xs[k] = {"src": src, "tgt": tg, "l0": l0}
-            if cmap is not None:
-                seg.xs[k]["cmap"] = cmap
-            if tgu is not None:
-                seg.xs[k]["tgtu"] = tgu
-            flops_padded += steps * U * _slot_flops(k)
+                    U += max(1, U // 4)
+            # slot within step = placement (deadline) order
+            ordst = np.argsort(step_of, kind="stable")
+            sts = step_of[ordst]
+            slot_of = np.zeros(sts.size, np.int64)
+            if sts.size:
+                new = np.concatenate([[True], sts[1:] != sts[:-1]])
+                gstart = np.where(new)[0]
+                glen = np.diff(np.concatenate([gstart, [sts.size]]))
+                cc = np.arange(sts.size) - np.repeat(gstart, glen)
+                slot_of[ordst] = cc
+            # --- vectorized xs emission -----------------------------------
+            kind, pd, ps, H, Wd, Ws = fkey
+            base = step_of * U + slot_of                     # (nu_f,)
+            pair_f = u_pair[us_idx]
+            rb_d = rbase_a[prd[pair_f]]
+            rb_s = rbase_a[prs[pair_f]]
+            m_arr = u_m[us_idx]
+            uu = np.repeat(np.arange(us_idx.size, dtype=_IDX), m_arr)
+            within = _ranges(m_arr)
+            ppos = (Iptr[pair_f] + u_off[us_idx])[uu] + within
+            dst = base[uu] * H + within
+            src = np.full(steps * U * H, -1, np.int32)
+            tg = np.full(steps * U * H, -1, np.int32)
+            src[dst] = rb_d[uu] + Isrc_all[ppos]
+            tg[dst] = rb_s[uu] + Itgt_all[ppos]
+            if lu_extras:
+                tgu = np.full(steps * U * H, -1, np.int32)
+                tgu[dst] = np.where(Idg_all[ppos], -1, tg[dst])
+            # the pair's shared L0 row, replicated into each chunk slot
+            j_arr = Jp_true[pair_f]
+            vv = np.repeat(np.arange(us_idx.size, dtype=_IDX), j_arr)
+            wthn = _ranges(j_arr)
+            lpos = Lptr[pair_f][vv] + wthn
+            l0 = np.full(steps * U * Ws, -1, np.int32)
+            if kind == "upds":
+                cmap = np.zeros(steps * U * Ws, np.int32)
+                at = base[vv] * Ws + wthn
+                l0[at] = rb_d[vv] + Lsrc_all[lpos]
+                cmap[at] = Lcol[lpos]
+            else:
+                l0[base[vv] * Ws + Lcol[lpos]] = \
+                    rb_d[vv] + Lsrc_all[lpos]
+            seg.xs[fkey] = {"src": src.reshape(steps, U, H),
+                            "tgt": tg.reshape(steps, U, H),
+                            "l0": l0.reshape(steps, U, Ws)}
+            if kind == "upds":
+                seg.xs[fkey]["cmap"] = cmap.reshape(steps, U, Ws)
+            if lu_extras:
+                seg.xs[fkey]["tgtu"] = tgu.reshape(steps, U, H)
+            flops_padded += steps * U * _slot_flops(fkey)
         # chol / trsm phases: capacity = max per level
         ck = {k for (L, k) in chol_items if lo <= L < hi}
         for k in sorted(ck):
@@ -677,6 +776,7 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = None,
             flops_padded += steps * U * _slot_flops(k)
         segments.append(seg)
 
+    _plan_tic("segments")
     lnz = int(cnt.sum())
     flops_true = int(np.sum(cnt.astype(np.float64) ** 2))
     return SuperscanPlan(

@@ -17,7 +17,7 @@ import numpy as np
 
 __all__ = ["available", "etree", "post", "counts", "amd_core",
            "rowpatterns", "chol_numeric", "lsolve", "ltsolve",
-           "ss_pairs"]
+           "ss_pairs", "edf"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_HERE, "libtsplanner.so")
@@ -65,6 +65,8 @@ def _load():
     lib.ts_ss_pairs.argtypes = [I, I, IP, IP, IP, IP, IP, ctypes.c_int,
                                 IP, IP, IP, IP, IP, IP, IP, IP, IP, IP,
                                 IP]
+    lib.ts_edf.argtypes = [I, I, IP, IP, I, IP]
+    lib.ts_edf.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -148,6 +150,16 @@ def ltsolve(Lp, Li, Lx, b):
     lib.ts_ltsolve(len(Lp) - 1, _c64(Lp), _c64(Li),
                    np.ascontiguousarray(Lx, np.float64), x)
     return x
+
+
+def edf(steps, rel, dl, U0):
+    """EDF greedy placement (planner.cpp ts_edf): units sorted by
+    deadline, rel/dl zero-based in [0, steps).  Returns (U, step_of)."""
+    lib = _load()
+    nu = len(rel)
+    step_of = np.empty(max(nu, 1), dtype=np.int64)
+    U = lib.ts_edf(nu, steps, _c64(rel), _c64(dl), int(U0), step_of)
+    return int(U), step_of[:nu]
 
 
 def ss_pairs(npan, n, c0, w, rowptr, rows, col2p):

@@ -638,4 +638,41 @@ void ts_ss_pairs(i64 npan, i64 n, const i64 *c0, const i64 *w,
   }
 }
 
+// EDF greedy assignment of units to steps (superscan planner): units
+// arrive sorted by deadline; each is placed at the earliest non-full
+// step >= its release ("next free step" union-find with path
+// compression).  On infeasibility the capacity U grows by 25% and the
+// pass restarts.  Returns the final U; step_out[i] = assigned step.
+// Twin of the Python fallback in superscan.plan_superscan.
+i64 ts_edf(i64 nu, i64 steps, const i64 *rel, const i64 *dl, i64 U0,
+           i64 *step_out) {
+  std::vector<i64> nxt(steps + 1);
+  std::vector<i64> fill(steps);
+  i64 U = U0 < 1 ? 1 : U0;
+  for (;;) {
+    for (i64 t = 0; t <= steps; t++) nxt[t] = t;
+    std::fill(fill.begin(), fill.end(), (i64)0);
+    bool ok = true;
+    for (i64 i = 0; i < nu; i++) {
+      i64 t = rel[i];
+      i64 root = t;
+      while (nxt[root] != root) root = nxt[root];
+      while (nxt[t] != root) {
+        i64 nx = nxt[t];
+        nxt[t] = root;
+        t = nx;
+      }
+      t = root;
+      if (t > dl[i]) {
+        ok = false;
+        break;
+      }
+      step_out[i] = t;
+      if (++fill[t] == U) nxt[t] = t + 1;
+    }
+    if (ok) return U;
+    U += U > 4 ? U / 4 : 1;
+  }
+}
+
 }  // extern "C"
