@@ -190,7 +190,8 @@ def main():
         pool0 = {pw: jnp.asarray(v) for pw, v in plan.pool_init.items()}
         segs_ne = [s for s in plan.segments if s.xs]
         seg_keys = [tuple(sorted(s.xs)) for s in segs_ne]
-        seg_fns = [_segment_factor(k) for k in seg_keys]
+        seg_fns = [_segment_factor(k, scratch_rows=s.scratch_rows)
+                   for k, s in zip(seg_keys, segs_ne)]
         xs_lists = [
             {k: {nm: jnp.asarray(a) for nm, a in s.xs[k].items()}
              for k in ks}

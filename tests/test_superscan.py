@@ -171,3 +171,26 @@ def test_updown_device_resident(rng):
     old = F.pools
     assert F.updown(-1, w2) is False
     assert F.pools is old
+
+
+def test_aggregated_update_path(rng, monkeypatch):
+    """TPUSPARSE_AGG=1 routes updates through the multifrontal-style
+    updg (Delta GEMM into scratch) + upda (2-D gather/scatter apply)
+    phases; results must match the default per-pair pipeline and the
+    dense oracle.  The path is off by default (measured tie — see the
+    planner comment / BASELINE.md aggregation experiment)."""
+    monkeypatch.setenv("TPUSPARSE_AGG", "1")
+    for n, dens in ((40, 0.3), (90, 0.12)):
+        d, A = _spd(rng, n, dens)
+        F = SuperscanCholesky(A, order=1, wmax=16, tau=0.9, small_w=4)
+        plan = F.plan
+        kinds = {k[0] for s in plan.segments for k in s.xs}
+        assert "updg" in kinds and "upda" in kinds
+        assert any(s.scratch_rows > 0 for s in plan.segments)
+        assert F.factor()
+        b = rng.normal(size=n)
+        x = F.solve(b)
+        assert resid(d, x, b) < 1e-12
+        # device solve path too (scan solve shares the factor pools)
+        x2 = F.solve_host(b)
+        assert resid(d, x2, b) < 1e-12

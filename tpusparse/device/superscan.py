@@ -141,13 +141,36 @@ class _Panel:
 #                                  that touch few target columns: delta is
 #                                  (H,J) and lands via a 2-D element
 #                                  scatter at (row, col) pairs
+#   ("updg", pd, H, Wd, Ws)      : aggregated (multifrontal-style) GEMM —
+#                                  one (H,Wd)@(Wd,Ws) trapezoid chunk of a
+#                                  descendant's od x od update matrix,
+#                                  written into the per-step scratch
+#   ("upda", ps, H, Ws)          : flop-free application of one ancestor
+#                                  pair's sub-block of a scratch update
+#                                  matrix: 2-D gather from scratch + 2-D
+#                                  element scatter-add into pool ps
 def _slot_flops(key: Tuple) -> int:
     if key[0] == "chol":
         return key[2] ** 3 // 3
     if key[0] == "trsm":
         return key[2] * key[3] * key[3]
+    if key[0] == "updg":
+        _, pd, h, wd, ws = key
+        return 2 * h * wd * ws
+    if key[0] == "upda":
+        return 0                     # data movement only, no multiplies
     _, pd, ps, h, wd, ws = key[:6]
     return 2 * h * wd * ws
+
+
+def _slot_cost(key: Tuple) -> int:
+    """Planning cost of one slot (DP segmentation + phase coarsening):
+    issued flops, except the flop-free apply phases are charged a
+    byte-proxy so the planner still balances and merges them."""
+    if key[0] == "upda":
+        _, ps, h, ws = key
+        return h * ws
+    return _slot_flops(key)
 
 
 @dataclass
@@ -155,6 +178,7 @@ class _Segment:
     lo: int                                     # first step
     hi: int                                     # one past last step
     xs: Dict[Tuple, Dict[str, np.ndarray]] = field(default_factory=dict)
+    scratch_rows: int = 0            # per-step scratch for updg/upda
 
 
 @dataclass
@@ -174,6 +198,42 @@ class SuperscanPlan:
     @property
     def waste_ratio(self) -> float:
         return 1.0 - self.flops_true / max(self.flops_padded, 1)
+
+
+def _edf(steps: int, rel: np.ndarray, dl: np.ndarray, U0: int):
+    """EDF greedy placement (units pre-sorted by deadline): native
+    ts_edf when available, else the Python union-find twin.  Returns
+    (capacity, step_of)."""
+    from .. import native
+    if native.available():
+        return native.edf(steps, rel, dl, U0)
+    U = max(1, int(U0))
+    while True:
+        nxt = np.arange(steps + 1, dtype=np.int64)
+        fill = np.zeros(steps, dtype=np.int64)
+        step_of = np.empty(rel.size, np.int64)
+
+        def find(t):
+            root = t
+            while nxt[root] != root:
+                root = nxt[root]
+            while nxt[t] != root:
+                nxt[t], t = root, nxt[t]
+            return root
+
+        okall = True
+        for i in range(rel.size):
+            t = find(int(rel[i]))
+            if t > dl[i]:
+                okall = False
+                break
+            step_of[i] = t
+            fill[t] += 1
+            if fill[t] == U:
+                nxt[t] = t + 1
+        if okall:
+            return U, step_of
+        U += max(1, U // 4)
 
 
 def _symbolic(A: CSCMatrix, order: int):
@@ -463,47 +523,190 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = None,
     # pair id, row offset, true row count, phase-key id, and its EDF
     # release/deadline steps.  No per-unit Python objects.
     HMAX = H_CLASSES[-1]
+    agg_on = (not lu_extras
+              and os.environ.get("TPUSPARSE_AGG", "0") == "1")
+    agg_mmax = int(os.environ.get("TPUSPARSE_AGG_MMAX", "1024"))
+    m_pan = np.array([pl.rows.size for pl in panels] or [0], _IDX)
+    agg_d = agg_on & (m_pan > 0) & (m_pan <= agg_mmax)
+    agg_pair = agg_d[prd] if P else np.zeros(0, bool)
+    ukeys: List[Tuple] = []
+    _kindex: Dict[Tuple, int] = {}
+
+    def _key_id(key: Tuple) -> int:
+        i = _kindex.get(key)
+        if i is None:
+            i = _kindex[key] = len(ukeys)
+            ukeys.append(key)
+        return i
+
+    def _lg(a):
+        return np.round(np.log2(a)).astype(_IDX)
+
     if P:
-        Jp2 = np.maximum(
-            1 << np.ceil(np.log2(np.maximum(Jp_true, 1))).astype(_IDX),
-            8)
-        sparse_p = ((Jp2 * _SPARSEJ_RATIO <= ws_pair)
-                    & (Jp2 <= _SPARSEJ_CAP))
-        wsJ_pair = np.where(sparse_p, Jp2, ws_pair)
         rel_pair = panel_step[prd] + 1
         dl_pair = panel_step[prs]
-        nck = -(-Kp // HMAX)
+    po = np.where(~agg_pair)[0] if P else np.zeros(0, _IDX)
+    if po.size:
+        Jp2 = np.maximum(
+            1 << np.ceil(np.log2(np.maximum(Jp_true[po], 1))
+                         ).astype(_IDX), 8)
+        sparse_p = ((Jp2 * _SPARSEJ_RATIO <= ws_pair[po])
+                    & (Jp2 <= _SPARSEJ_CAP))
+        wsJ_po = np.where(sparse_p, Jp2, ws_pair[po])
+        nck = -(-Kp[po] // HMAX)
         NU = int(nck.sum())
-        u_pair = np.repeat(np.arange(P, dtype=_IDX), nck)
-        ck0 = np.cumsum(nck) - nck
-        u_off = (np.arange(NU, dtype=_IDX)
-                 - np.repeat(ck0, nck)) * HMAX
+        iu = np.repeat(np.arange(po.size, dtype=_IDX), nck)
+        u_pair = po[iu]
+        u_off = _ranges(nck) * HMAX
         u_m = np.minimum(Kp[u_pair] - u_off, HMAX)
         lg_h = np.ceil(np.log2(np.maximum(u_m, 8))).astype(_IDX)
-
-        def _lg(a):
-            return np.round(np.log2(a)).astype(_IDX)
-
-        code = ((sparse_p[u_pair].astype(_IDX) << 20)
+        code = ((sparse_p[iu].astype(_IDX) << 20)
                 | ((pool_a[prd][u_pair] == POOLS[1]).astype(_IDX) << 19)
                 | ((pool_a[prs][u_pair] == POOLS[1]).astype(_IDX) << 18)
                 | (lg_h << 12) | (_lg(wd_pair[u_pair]) << 6)
-                | _lg(wsJ_pair[u_pair]))
-        ucodes, u_kid = np.unique(code, return_inverse=True)
-        ukeys = []
-        for c in ucodes:
+                | _lg(wsJ_po[iu]))
+        ucodes, u_kid0 = np.unique(code, return_inverse=True)
+        kmap = np.empty(ucodes.size, _IDX)
+        for ci, c in enumerate(ucodes):
             c = int(c)
-            ukeys.append(("upds" if (c >> 20) & 1 else "upd",
-                          POOLS[(c >> 19) & 1], POOLS[(c >> 18) & 1],
-                          1 << ((c >> 12) & 63), 1 << ((c >> 6) & 63),
-                          1 << (c & 63)))
+            kmap[ci] = _key_id(
+                ("upds" if (c >> 20) & 1 else "upd",
+                 POOLS[(c >> 19) & 1], POOLS[(c >> 18) & 1],
+                 1 << ((c >> 12) & 63), 1 << ((c >> 6) & 63),
+                 1 << (c & 63)))
+        u_kid = kmap[u_kid0]
         u_rel = rel_pair[u_pair]
         u_dl = dl_pair[u_pair]
     else:
         NU = 0
         u_pair = u_off = u_m = u_kid = u_rel = u_dl = \
             np.zeros(0, _IDX)
-        ukeys = []
+
+    # ---- aggregated (multifrontal-style) updates, TPUSPARSE_AGG=1 ----------
+    # Descendants with 0 < m <= AGG_MMAX od rows compute their od x od
+    # update matrix ONCE ("updg": Delta = Lod @ Lod^T in column strips
+    # of <= AGG_WCAP cols, rows [first live row, m) — a trapezoid,
+    # because strip c's first live row tracks its first column) into
+    # the per-step scratch buffer; each ancestor pair then applies its
+    # sub-block by a 2-D gather + element scatter-add ("upda", zero
+    # flops).  MEASURED RESULT (round 3, BASELINE.md "aggregation
+    # experiment"): this TIES the per-pair pipeline, slightly worse —
+    # 2D n=262k waste 0.69 vs 0.66, canonical 3D 0.54 vs 0.48 — because
+    # the pair pipeline is already trapezoid-optimal and both pay the
+    # same 8-row/8-lane slot quantization (the real 2D floor).  OFF by
+    # default; kept env-gated for pattern families with much higher
+    # ancestor fan-out per descendant, where one GEMM amortizes over
+    # more applies.  Reference semantics identical either way
+    # (csparse::cs_chol trailing update; CHOLMOD-style assembly).
+    AGG_WCAP = int(os.environ.get("TPUSPARSE_AGG_WCAP", "32"))
+    NA = NB = NS = 0
+    step_scratch = np.zeros(max(nsteps, 1), np.int64)
+    if P and bool(agg_pair.any()):
+        ap = np.where(agg_pair)[0]               # aggregated pairs
+        d_ap = prd[ap]
+        Wd_ap = Wp_a[d_ap]
+        a0_ap = Isrc_all[Iptr[ap]] - Wd_ap       # first live od position
+        b0_ap = Lsrc_all[Lptr[ap]] - Wd_ap       # first L0 od position
+        J_ap = Jp_true[ap]
+        wc_pan = np.where(m_pan <= 128, AGG_WCAP, 128)
+        wc_ap = wc_pan[d_ap]
+        big = np.iinfo(np.int64).max
+        # sub-pairs: split column ranges at strip boundaries
+        c_lo = b0_ap // wc_ap
+        c_hi = (b0_ap + J_ap - 1) // wc_ap
+        nsp = c_hi - c_lo + 1
+        SP = int(nsp.sum())
+        sp_ap = np.repeat(np.arange(ap.size, dtype=_IDX), nsp)
+        sp_ci = c_lo[sp_ap] + _ranges(nsp)
+        sp_lo = np.maximum(b0_ap[sp_ap], sp_ci * wc_ap[sp_ap])
+        sp_hi = np.minimum(b0_ap[sp_ap] + J_ap[sp_ap],
+                           (sp_ci + 1) * wc_ap[sp_ap])
+        sp_J = sp_hi - sp_lo
+        # strips = unique (descendant, column chunk)
+        scode = d_ap[sp_ap] * (1 << 24) + sp_ci
+        scu, sp_strip = np.unique(scode, return_inverse=True)
+        st_d = scu >> 24
+        st_ci = scu & ((1 << 24) - 1)
+        NS = st_d.size
+        st_alo = np.full(NS, big, np.int64)
+        np.minimum.at(st_alo, sp_strip, a0_ap[sp_ap])
+        st_rows = m_pan[st_d] - st_alo
+        st_w = np.minimum(wc_pan[st_d],
+                          m_pan[st_d] - st_ci * wc_pan[st_d])
+        # strip-level EDF: each strip group (its "updg" GEMM chunks plus
+        # the "upda" applies that read it) is independently placeable in
+        # [step(d)+1, min step of the ancestors its columns touch] —
+        # far-column strips have wide windows, recovering the schedule
+        # slack the old per-pair pipeline exploited (descendant-level
+        # pinning measured occupancy 0.65 vs the pair engine's 0.77)
+        st_rel = panel_step[st_d] + 1
+        st_dl = np.full(NS, big, np.int64)
+        np.minimum.at(st_dl, sp_strip, panel_step[prs[ap[sp_ap]]])
+        ords2 = np.argsort(st_dl, kind="stable")
+        dem0 = np.cumsum(np.bincount(st_dl[ords2],
+                                     minlength=max(nsteps, 1)))
+        U0 = max(1, int(np.ceil(
+            dem0 / np.arange(1, max(nsteps, 1) + 1)).max()))
+        _, tpl = _edf(max(nsteps, 1), st_rel[ords2], st_dl[ords2], U0)
+        st_step = np.empty(NS, np.int64)
+        st_step[ords2] = tpl
+        # scratch layout: strips packed per step, trailing dump row
+        ords = np.argsort(st_step, kind="stable")
+        cum = np.cumsum(st_rows[ords]) - st_rows[ords]
+        stp = st_step[ords]
+        newg = np.concatenate([[True], stp[1:] != stp[:-1]])
+        gidx = np.where(newg)[0]
+        st_base = np.empty(NS, np.int64)
+        st_base[ords] = cum - np.repeat(
+            cum[gidx], np.diff(np.concatenate([gidx, [NS]])))
+        np.add.at(step_scratch, st_step, st_rows)
+        # A units: <=AGG_HCAP-row chunks of each strip (smaller chunks
+        # pad the trapezoid tails less; measured best near 32)
+        AGG_HCAP = int(os.environ.get("TPUSPARSE_AGG_HCAP", "32"))
+        anck = -(-st_rows // AGG_HCAP)
+        NA = int(anck.sum())
+        ga_strip = np.repeat(np.arange(NS, dtype=_IDX), anck)
+        ga_off = _ranges(anck) * AGG_HCAP
+        ga_m = np.minimum(st_rows[ga_strip] - ga_off, AGG_HCAP)
+        lg_ah = np.ceil(np.log2(np.maximum(ga_m, 8))).astype(_IDX)
+        lg_aw = np.ceil(np.log2(np.maximum(st_w[ga_strip], 8))
+                        ).astype(_IDX)
+        acode = (((pool_a[st_d][ga_strip] == POOLS[1]).astype(_IDX)
+                  << 20)
+                 | (lg_ah << 12)
+                 | (_lg(Wp_a[st_d][ga_strip]) << 6) | lg_aw)
+        acu, akid0 = np.unique(acode, return_inverse=True)
+        akmap = np.empty(acu.size, _IDX)
+        for ci, c in enumerate(acu):
+            c = int(c)
+            akmap[ci] = _key_id(
+                ("updg", POOLS[(c >> 20) & 1],
+                 1 << ((c >> 12) & 63), 1 << ((c >> 6) & 63),
+                 1 << (c & 63)))
+        ga_kid = akmap[akid0]
+        ga_step = st_step[ga_strip]
+        # B units: <=128-row chunks of each sub-pair's live row list
+        K_sp = Kp[ap][sp_ap]
+        bnck = -(-K_sp // HMAX)
+        NB = int(bnck.sum())
+        gb_sp = np.repeat(np.arange(SP, dtype=_IDX), bnck)
+        gb_off = _ranges(bnck) * HMAX
+        gb_m = np.minimum(K_sp[gb_sp] - gb_off, HMAX)
+        lg_bh = np.ceil(np.log2(np.maximum(gb_m, 8))).astype(_IDX)
+        lg_bw = np.ceil(np.log2(np.maximum(sp_J[gb_sp], 8))
+                        ).astype(_IDX)
+        bcode = (((pool_a[prs[ap[sp_ap[gb_sp]]]] == POOLS[1])
+                  .astype(_IDX) << 20)
+                 | (lg_bh << 12) | lg_bw)
+        bcu, bkid0 = np.unique(bcode, return_inverse=True)
+        bkmap = np.empty(bcu.size, _IDX)
+        for ci, c in enumerate(bcu):
+            c = int(c)
+            bkmap[ci] = _key_id(
+                ("upda", POOLS[(c >> 20) & 1],
+                 1 << ((c >> 12) & 63), 1 << (c & 63)))
+        gb_kid = bkmap[bkid0]
+        gb_step = st_step[sp_strip[gb_sp]]
 
     _plan_tic("units")
     # ---- segmentation (DP over the step axis) ------------------------------
@@ -517,10 +720,14 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = None,
         CL[L, kidx[k]] += len(v)
     for (L, k), v in trsm_items.items():
         CL[L, kidx[k]] += len(v)
+    ukid2fine = np.array([kidx[k] for k in ukeys] or [0], np.int64)
     if NU:
-        ukid2fine = np.array([kidx[k] for k in ukeys], np.int64)
         np.add.at(CL, (u_dl, ukid2fine[u_kid]), 1)
-    slotf = np.array([_slot_flops(k) for k in fine_keys], np.float64)
+    if NA:
+        np.add.at(CL, (ga_step, ukid2fine[ga_kid]), 1)
+    if NB:
+        np.add.at(CL, (gb_step, ukid2fine[gb_kid]), 1)
+    slotf = np.array([_slot_cost(k) for k in fine_keys], np.float64)
 
     # candidate boundaries (strided for big step counts)
     stride = max(1, nsteps // 192)
@@ -572,20 +779,43 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = None,
     flops_padded = 0
 
     def coarser(key):
-        """Upd phases this unit may run in (same kind/pools, >= dims)."""
-        kind, pd, ps, h, wd, ws = key
-        smax = 32 if kind == "upds" else ps
+        """Phases this unit may run in (same kind/pools, >= dims)."""
+        kind = key[0]
         outs = []
-        for h2 in H_CLASSES:
-            if h2 < h:
-                continue
-            w2 = wd
-            while w2 <= pd:
+        if kind in ("upd", "upds"):
+            _, pd, ps, h, wd, ws = key
+            smax = 32 if kind == "upds" else ps
+            for h2 in H_CLASSES:
+                if h2 < h:
+                    continue
+                w2 = wd
+                while w2 <= pd:
+                    s2 = ws
+                    while s2 <= smax:
+                        outs.append((kind, pd, ps, h2, w2, s2))
+                        s2 *= 2
+                    w2 *= 2
+        elif kind == "updg":
+            _, pd, h, wd, ws = key
+            for h2 in H_CLASSES:
+                if h2 < h:
+                    continue
+                w2 = wd
+                while w2 <= pd:
+                    s2 = ws
+                    while s2 <= 128:
+                        outs.append((kind, pd, h2, w2, s2))
+                        s2 *= 2
+                    w2 *= 2
+        else:                                    # upda
+            _, ps, h, ws = key
+            for h2 in H_CLASSES:
+                if h2 < h:
+                    continue
                 s2 = ws
-                while s2 <= smax:
-                    outs.append((kind, pd, ps, h2, w2, s2))
+                while s2 <= 128:
+                    outs.append((kind, ps, h2, s2))
                     s2 *= 2
-                w2 *= 2
         return outs
 
     # units pre-sorted by deadline: each segment is a contiguous slice
@@ -608,15 +838,23 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = None,
         DEM = np.zeros((max(len(ukeys), 1), steps), np.int64)
         if seg_u.size:
             np.add.at(DEM, (u_kid[seg_u], u_dl[seg_u] - lo), 1)
+        sa = (np.where((ga_step >= lo) & (ga_step < hi))[0] if NA
+              else np.zeros(0, _IDX))
+        if sa.size:
+            np.add.at(DEM, (ga_kid[sa], ga_step[sa] - lo), 1)
+        sb = (np.where((gb_step >= lo) & (gb_step < hi))[0] if NB
+              else np.zeros(0, _IDX))
+        if sb.size:
+            np.add.at(DEM, (gb_kid[sb], gb_step[sb] - lo), 1)
         dem: Dict[Tuple, np.ndarray] = {
             ukeys[i]: DEM[i] for i in range(len(ukeys))
             if DEM[i].any()}
         remap: Dict[Tuple, Tuple] = {k: k for k in dem}
 
         def issued(k, v):
-            return float(v.max()) * steps * _slot_flops(k)
+            return float(v.max()) * steps * _slot_cost(k)
 
-        fine = sorted(dem, key=lambda k: dem[k].sum() * _slot_flops(k))
+        fine = sorted(dem, key=lambda k: dem[k].sum() * _slot_cost(k))
         eff: Dict[Tuple, np.ndarray] = {k: v.copy()
                                         for k, v in dem.items()}
         changed = True
@@ -658,6 +896,8 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = None,
         fi_seg = (fin_of_kid[u_kid[seg_u]] if seg_u.size
                   else np.zeros(0, np.int64))
         for f, fkey in enumerate(fin_keys_seg):
+            if fkey[0] in ("updg", "upda"):
+                continue            # aggregated pipeline emits these below
             us_idx = seg_u[fi_seg == f]
             # --- EDF assignment of units to steps -------------------------
             rel_arr = np.maximum(u_rel[us_idx], lo) - lo
@@ -665,39 +905,7 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = None,
             demand = np.cumsum(np.bincount(dl_arr, minlength=steps))
             U0 = max(1, int(np.ceil(demand
                                     / np.arange(1, steps + 1)).max()))
-            from .. import native as _nat
-            if _nat.available():
-                U, step_of = _nat.edf(steps, rel_arr, dl_arr, U0)
-            else:
-                # Python twin of planner.cpp ts_edf: earliest-feasible
-                # placement via union-find "next free step >= t"
-                U = U0
-                while True:
-                    nxt = np.arange(steps + 1, dtype=np.int64)
-                    fill = np.zeros(steps, dtype=np.int64)
-                    step_of = np.empty(us_idx.size, np.int64)
-
-                    def find(t):
-                        root = t
-                        while nxt[root] != root:
-                            root = nxt[root]
-                        while nxt[t] != root:
-                            nxt[t], t = root, nxt[t]
-                        return root
-
-                    okall = True
-                    for i in range(us_idx.size):
-                        t = find(int(rel_arr[i]))
-                        if t > dl_arr[i]:
-                            okall = False
-                            break
-                        step_of[i] = t
-                        fill[t] += 1
-                        if fill[t] == U:
-                            nxt[t] = t + 1
-                    if okall:
-                        break
-                    U += max(1, U // 4)
+            U, step_of = _edf(steps, rel_arr, dl_arr, U0)
             # slot within step = placement (deadline) order
             ordst = np.argsort(step_of, kind="stable")
             sts = step_of[ordst]
@@ -748,6 +956,94 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = None,
             if lu_extras:
                 seg.xs[fkey]["tgtu"] = tgu.reshape(steps, U, H)
             flops_padded += steps * U * _slot_flops(fkey)
+
+        def _pinned_slots(t_of):
+            """Slot index within each step for step-pinned units (A/B);
+            returns (U, base) with base = t*U + slot."""
+            cnt = np.bincount(t_of, minlength=steps)
+            U = max(1, int(cnt.max()))
+            ordt = np.argsort(t_of, kind="stable")
+            ts = t_of[ordt]
+            slot = np.zeros(ts.size, np.int64)
+            if ts.size:
+                newt = np.concatenate([[True], ts[1:] != ts[:-1]])
+                gs = np.where(newt)[0]
+                gl = np.diff(np.concatenate([gs, [ts.size]]))
+                cc = np.arange(ts.size) - np.repeat(gs, gl)
+                slot[ordt] = cc
+            return U, t_of * U + slot
+
+        # --- aggregated GEMM ("updg") emission ----------------------------
+        fa_seg = (fin_of_kid[ga_kid[sa]] if sa.size
+                  else np.zeros(0, np.int64))
+        for f, fkey in enumerate(fin_keys_seg):
+            if fkey[0] != "updg":
+                continue
+            idx = sa[fa_seg == f]
+            _, pd, H, Wd, Ws = fkey
+            U, base = _pinned_slots(ga_step[idx] - lo)
+            strips = ga_strip[idx]
+            dpan = st_d[strips]
+            m_arr = ga_m[idx]
+            uu = np.repeat(np.arange(idx.size, dtype=_IDX), m_arr)
+            within = _ranges(m_arr)
+            pos = st_alo[strips][uu] + ga_off[idx][uu] + within
+            dst = base[uu] * H + within
+            srcg = np.full(steps * U * H, -1, np.int32)
+            swr = np.full(steps * U * H, -1, np.int32)
+            srcg[dst] = rbase_a[dpan][uu] + Wp_a[dpan][uu] + pos
+            swr[dst] = st_base[strips][uu] + ga_off[idx][uu] + within
+            w_arr = st_w[strips]
+            vv = np.repeat(np.arange(idx.size, dtype=_IDX), w_arr)
+            wthn = _ranges(w_arr)
+            colpos = (st_ci[strips] * wc_pan[st_d[strips]])[vv] + wthn
+            l0g = np.full(steps * U * Ws, -1, np.int32)
+            l0g[base[vv] * Ws + wthn] = \
+                rbase_a[dpan][vv] + Wp_a[dpan][vv] + colpos
+            seg.xs[fkey] = {"src": srcg.reshape(steps, U, H),
+                            "l0": l0g.reshape(steps, U, Ws),
+                            "swr": swr.reshape(steps, U, H)}
+            flops_padded += steps * U * _slot_flops(fkey)
+        # --- aggregated apply ("upda") emission ----------------------------
+        fb_seg = (fin_of_kid[gb_kid[sb]] if sb.size
+                  else np.zeros(0, np.int64))
+        for f, fkey in enumerate(fin_keys_seg):
+            if fkey[0] != "upda":
+                continue
+            idx = sb[fb_seg == f]
+            _, ps, H, Ws = fkey
+            U, base = _pinned_slots(gb_step[idx] - lo)
+            sp = gb_sp[idx]
+            pr = ap[sp_ap[sp]]                      # original pair ids
+            strips = sp_strip[sp]
+            m_arr = gb_m[idx]
+            uu = np.repeat(np.arange(idx.size, dtype=_IDX), m_arr)
+            within = _ranges(m_arr)
+            ipos = (Iptr[pr] + gb_off[idx])[uu] + within
+            dst = base[uu] * H + within
+            srd = np.full(steps * U * H, -1, np.int32)
+            tgb = np.full(steps * U * H, -1, np.int32)
+            srd[dst] = (st_base[strips][uu]
+                        + (Isrc_all[ipos] - Wp_a[prd[pr]][uu])
+                        - st_alo[strips][uu])
+            tgb[dst] = rbase_a[prs[pr]][uu] + Itgt_all[ipos]
+            j_arr = sp_J[sp]
+            vv = np.repeat(np.arange(idx.size, dtype=_IDX), j_arr)
+            wthn = _ranges(j_arr)
+            bcol = np.full(steps * U * Ws, -1, np.int32)
+            cmap = np.zeros(steps * U * Ws, np.int32)
+            at = base[vv] * Ws + wthn
+            bcol[at] = (sp_lo[sp] - st_ci[strips]
+                        * wc_pan[st_d[strips]])[vv] + wthn
+            lpos = (Lptr[pr] + sp_lo[sp]
+                    - b0_ap[sp_ap[sp]])[vv] + wthn
+            cmap[at] = Lcol[lpos]
+            seg.xs[fkey] = {"srd": srd.reshape(steps, U, H),
+                            "tgt": tgb.reshape(steps, U, H),
+                            "bcol": bcol.reshape(steps, U, Ws),
+                            "cmap": cmap.reshape(steps, U, Ws)}
+        if sa.size:
+            seg.scratch_rows = int(step_scratch[lo:hi].max()) + 1
         # chol / trsm phases: capacity = max per level
         ck = {k for (L, k) in chol_items if lo <= L < hi}
         for k in sorted(ck):
@@ -790,7 +1086,8 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = None,
 _JIT_CACHE: Dict = {}
 
 
-def _segment_factor(seg_keys: Tuple, shard_fn=None) -> callable:
+def _segment_factor(seg_keys: Tuple, shard_fn=None,
+                    scratch_rows: int = 0) -> callable:
     """Shape-generic scan body for one segment: the phase list is
     static; every index array is a runtime input, so the compiled
     program is reused across matrices with the same signature.
@@ -798,11 +1095,62 @@ def _segment_factor(seg_keys: Tuple, shard_fn=None) -> callable:
     ``shard_fn`` (optional) is applied to the gathered per-step update
     batches (axis 0 = units) — the multi-chip driver passes a
     with_sharding_constraint so GSPMD splits the batched GEMMs over the
-    mesh and all-reduces the scatter-adds (parallel.sharded)."""
+    mesh and all-reduces the scatter-adds (parallel.sharded).
+
+    ``scratch_rows`` > 0 allocates the per-step scratch buffer that the
+    aggregated update phases use: "updg" GEMMs write trapezoid chunks of
+    each descendant's od x od update matrix there, and "upda" phases
+    gather each ancestor pair's sub-block and scatter-add it into the
+    target pool.  Scratch rows are only read in the step that wrote
+    them, so one (scratch_rows, 128) carry serves the whole scan; its
+    last row is the dump slot for padded indices."""
+    has_agg = scratch_rows > 0
 
     def run(pools: Dict[int, jnp.ndarray], xs: Dict):
-        def body(pools, x):
+        def body(carry, x):
+            pools, scratch = carry
             pools = dict(pools)
+            for key in seg_keys:               # 0. aggregated GEMMs
+                if key[0] != "updg":
+                    continue
+                _, pd, H, Wd, Ws = key
+                a = x[key]
+                srci, l0i, swr = a["src"], a["l0"], a["swr"]
+                flat_d = jax.lax.slice_in_dim(pools[pd], 0, Wd, axis=1)
+                l1 = jnp.where((srci >= 0)[..., None],
+                               flat_d[jnp.maximum(srci, 0)], 0.0)
+                l0 = jnp.where((l0i >= 0)[..., None],
+                               flat_d[jnp.maximum(l0i, 0)], 0.0)
+                if shard_fn is not None:
+                    l1 = shard_fn(l1)
+                    l0 = shard_fn(l0)
+                delta = jnp.einsum("uhw,usw->uhs", l1, l0,
+                                   precision=HIGHEST)
+                if Ws < scratch.shape[1]:
+                    delta = jnp.pad(
+                        delta, ((0, 0), (0, 0),
+                                (0, scratch.shape[1] - Ws)))
+                rows = jnp.where(swr >= 0, swr,
+                                 scratch.shape[0] - 1).reshape(-1)
+                scratch = scratch.at[rows].set(
+                    delta.reshape(-1, scratch.shape[1]))
+            for key in seg_keys:               # 0b. aggregated applies
+                if key[0] != "upda":
+                    continue
+                _, ps, H, Ws = key
+                a = x[key]
+                srd, tgti = a["srd"], a["tgt"]
+                bcol, cmap = a["bcol"], a["cmap"]
+                rows = jnp.maximum(srd, 0)               # (U,H)
+                lanes = jnp.maximum(bcol, 0)             # (U,Ws)
+                sub = scratch[rows[:, :, None], lanes[:, None, :]]
+                sub = jnp.where((srd >= 0)[:, :, None]
+                                & (bcol >= 0)[:, None, :], sub, 0.0)
+                rowi = jnp.maximum(tgti, 0)[:, :, None]
+                coli = cmap[:, None, :]
+                pools[ps] = pools[ps].at[
+                    jnp.broadcast_to(rowi, sub.shape),
+                    jnp.broadcast_to(coli, sub.shape)].add(-sub)
             for key in seg_keys:                       # 1. update phases
                 if key[0] not in ("upd", "upds"):
                     continue
@@ -871,9 +1219,11 @@ def _segment_factor(seg_keys: Tuple, shard_fn=None) -> callable:
                     # are zero already, and Y pad cols are zero here
                 pools[pw] = pools[pw].at[rows.reshape(-1)].set(
                     Y.reshape(-1, pools[pw].shape[1]))
-            return pools, None
+            return (pools, scratch), None
 
-        pools, _ = jax.lax.scan(body, pools, xs)
+        scratch0 = jnp.zeros((scratch_rows if has_agg else 1, 128),
+                             jnp.float32)
+        (pools, _), _ = jax.lax.scan(body, (pools, scratch0), xs)
         return pools
 
     return run
@@ -884,11 +1234,12 @@ def _factor(plan: SuperscanPlan, pools):
         if not seg.xs:
             continue
         keys = tuple(sorted(seg.xs))
-        sig = ("factor",) + tuple(
+        sig = ("factor", seg.scratch_rows) + tuple(
             (k,) + tuple(a.shape) for k in keys
             for a in seg.xs[k].values())
         if sig not in _JIT_CACHE:
-            _JIT_CACHE[sig] = jax.jit(_segment_factor(keys))
+            _JIT_CACHE[sig] = jax.jit(_segment_factor(
+                keys, scratch_rows=seg.scratch_rows))
         xs = {k: {nm: jnp.asarray(a) for nm, a in seg.xs[k].items()}
               for k in keys}
         pools = _JIT_CACHE[sig](pools, xs)

@@ -308,8 +308,9 @@ def sharded_superscan_factor(plan, mesh: Mesh, axis: str = "d"):
     for seg in plan.segments:
         xs = {}
         for k, d in seg.xs.items():
-            if k[0] in ("upd", "upds"):
-                U = d["src"].shape[1]
+            if k[0] in ("upd", "upds", "updg", "upda"):
+                first = next(iter(d.values()))
+                U = first.shape[1]
                 padu = (-U) % nd
                 xs[k] = {
                     nm: np.pad(a, ((0, 0), (0, padu), (0, 0)),
@@ -326,12 +327,14 @@ def sharded_superscan_factor(plan, mesh: Mesh, axis: str = "d"):
             if not xs:
                 continue
             keys = tuple(sorted(xs))
-            sig = ("shfactor", nd, mesh.axis_names) + tuple(
+            sig = ("shfactor", nd, mesh.axis_names,
+                   seg.scratch_rows) + tuple(
                 (k,) + tuple(a.shape) for k in keys
                 for a in xs[k].values())
             if sig not in _JIT_CACHE:
                 _JIT_CACHE[sig] = jax.jit(
-                    _segment_factor(keys, shard_fn=shard_fn))
+                    _segment_factor(keys, shard_fn=shard_fn,
+                                    scratch_rows=seg.scratch_rows))
             xsd = {k: {nm: jnp2.asarray(a) for nm, a in xs[k].items()}
                    for k in keys}
             pools = _JIT_CACHE[sig](pools, xsd)
