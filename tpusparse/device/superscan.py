@@ -257,30 +257,43 @@ def _symbolic(A: CSCMatrix, order: int):
 
 def _build_panels(n, parent, cnt, colptr, colrows, wmax, tau, small_w):
     """Fundamental supernodes -> relaxed amalgamation -> pow2 splits."""
-    starts = [0]
-    for j in range(n - 1):
-        if not (parent[j] == j + 1 and cnt[j + 1] == cnt[j] - 1):
-            starts.append(j + 1)
-    starts.append(n)
-    groups = []
-    for i in range(len(starts) - 1):
-        c0, c1 = starts[i], starts[i + 1]
-        rows_full = colrows[colptr[c0]:colptr[c0 + 1]]
-        od = rows_full[rows_full >= c1]
-        groups.append([c0, c1, np.asarray(od, _IDX), int(cnt[c0:c1].sum())])
-    merged = [groups[0]] if groups else []
-    for g in groups[1:]:
-        a = merged[-1]
-        w_m = g[1] - a[0]
-        if w_m <= wmax:
-            od_m = np.union1d(a[2], g[2])
-            od_m = od_m[od_m >= g[1]]
-            r_m = w_m + od_m.size
-            nnz_m = a[3] + g[3]
-            if nnz_m >= tau * max(r_m * w_m, 1) or w_m <= small_w:
-                merged[-1] = [a[0], g[1], od_m, nnz_m]
-                continue
-        merged.append(g)
+    from .. import native
+    if n > 1:
+        fuse = ((parent[:-1] == np.arange(1, n))
+                & (cnt[1:] == cnt[:-1] - 1))
+        starts = np.concatenate(
+            [[0], np.where(~fuse)[0] + 1, [n]]).astype(_IDX)
+    else:
+        starts = np.arange(n + 1, dtype=_IDX)
+    if native.available() and n:
+        # C++ twin of the merge loop below (planner.cpp ts_amalg) —
+        # identical output, parity-tested (test_native.py)
+        mstarts, odptr, odcat = native.amalg(
+            starts, colptr, colrows, cnt, tau, small_w, wmax)
+        merged = [[int(mstarts[i]), int(mstarts[i + 1]),
+                   odcat[odptr[i]:odptr[i + 1]], 0]
+                  for i in range(len(mstarts) - 1)]
+    else:
+        groups = []
+        for i in range(len(starts) - 1):
+            c0, c1 = int(starts[i]), int(starts[i + 1])
+            rows_full = colrows[colptr[c0]:colptr[c0 + 1]]
+            od = rows_full[rows_full >= c1]
+            groups.append([c0, c1, np.asarray(od, _IDX),
+                           int(cnt[c0:c1].sum())])
+        merged = [groups[0]] if groups else []
+        for g in groups[1:]:
+            a = merged[-1]
+            w_m = g[1] - a[0]
+            if w_m <= wmax:
+                od_m = np.union1d(a[2], g[2])
+                od_m = od_m[od_m >= g[1]]
+                r_m = w_m + od_m.size
+                nnz_m = a[3] + g[3]
+                if nnz_m >= tau * max(r_m * w_m, 1) or w_m <= small_w:
+                    merged[-1] = [a[0], g[1], od_m, nnz_m]
+                    continue
+            merged.append(g)
     panels: List[_Panel] = []
     col2p = np.zeros(n, dtype=_IDX)
     for c0, c1, od_rows, _nnz in merged:
@@ -404,12 +417,9 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = None,
          lev) = native.ss_pairs(npan, n, c0a, wa, rptr,
                                 rows_cat, col2p)
         level = lev.astype(_IDX)
-        WdI = np.repeat(Wa[prd], np.diff(Iptr))
-        WsI = np.repeat(Wa[prs], np.diff(Iptr))
-        Isrc_all = Ipos + WdI
-        Itgt_all = np.where(Itgt >= 0, Itgt, WsI + (-Itgt - 1))
+        native.ss_finalize(prd, prs, Iptr, Lptr, wa, Ipos, Itgt, Lpos)
+        Isrc_all, Itgt_all, Lsrc_all = Ipos, Itgt, Lpos
         Idg_all = Idg.astype(bool)
-        Lsrc_all = Lpos + np.repeat(Wa[prd], np.diff(Lptr))
     else:
         pr_d, pr_s = [], []
         I_srcs, I_tgts, I_dgs, L_srcs, L_cols = [], [], [], [], []

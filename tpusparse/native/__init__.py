@@ -67,6 +67,9 @@ def _load():
                                 IP]
     lib.ts_edf.argtypes = [I, I, IP, IP, I, IP]
     lib.ts_edf.restype = ctypes.c_int64
+    lib.ts_amalg.argtypes = [I, IP, IP, IP, IP, ctypes.c_double, I, I,
+                             ctypes.c_int, IP, IP, IP, IP]
+    lib.ts_ss_finalize.argtypes = [I, IP, IP, IP, IP, IP, IP, IP, IP]
     _lib = lib
     return lib
 
@@ -150,6 +153,38 @@ def ltsolve(Lp, Li, Lx, b):
     lib.ts_ltsolve(len(Lp) - 1, _c64(Lp), _c64(Li),
                    np.ascontiguousarray(Lx, np.float64), x)
     return x
+
+
+def ss_finalize(pr_d, pr_s, Iptr, Lptr, w, I_pos, I_tgt, L_pos):
+    """In-place offset resolution for ss_pairs output (planner.cpp
+    ts_ss_finalize); arrays must be int64 C-contiguous."""
+    lib = _load()
+    lib.ts_ss_finalize(len(pr_d), _c64(pr_d), _c64(pr_s), _c64(Iptr),
+                       _c64(Lptr), _c64(w), I_pos, I_tgt, L_pos)
+
+
+def amalg(starts, colptr, colrows, cnt, tau, small_w, wmax):
+    """Relaxed supernode amalgamation (planner.cpp ts_amalg).  Returns
+    (mstarts, odptr, odcat): merged group boundaries and ragged merged
+    od row lists."""
+    lib = _load()
+    ng0 = len(starts) - 1
+    starts = _c64(starts)
+    colptr = _c64(colptr)
+    colrows = _c64(colrows)
+    cnt = _c64(cnt)
+    sizes = np.zeros(2, np.int64)
+    z = np.zeros(1, np.int64)
+    lib.ts_amalg(ng0, starts, colptr, colrows, cnt, float(tau),
+                 int(small_w), int(wmax), 0, sizes, z, z, z)
+    ng, nod = int(sizes[0]), int(sizes[1])
+    mstarts = np.empty(ng + 1, np.int64)
+    odptr = np.empty(ng + 1, np.int64)
+    odcat = np.empty(max(nod, 1), np.int64)
+    lib.ts_amalg(ng0, starts, colptr, colrows, cnt, float(tau),
+                 int(small_w), int(wmax), 1, sizes, mstarts, odptr,
+                 odcat)
+    return mstarts, odptr, odcat[:nod]
 
 
 def edf(steps, rel, dl, U0):

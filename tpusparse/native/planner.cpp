@@ -638,6 +638,115 @@ void ts_ss_pairs(i64 npan, i64 n, const i64 *c0, const i64 *w,
   }
 }
 
+// Finalize ts_ss_pairs output in place (superscan planner): add the
+// descendant's class width W(d) = max(pow2(w), 8) to I/L positions
+// (pool-local od rows live at rbase + W + pos) and resolve the target
+// encoding (I_tgt >= 0: diagonal row; < 0: od position -(q+1) shifted
+// past the target's class width).  Saves five full-array numpy passes.
+void ts_ss_finalize(i64 npairs, const i64 *pr_d, const i64 *pr_s,
+                    const i64 *Iptr, const i64 *Lptr, const i64 *w,
+                    i64 *I_pos, i64 *I_tgt, i64 *L_pos) {
+  auto cls = [](i64 x) {
+    i64 p = 8;
+    while (p < x) p *= 2;
+    return p;
+  };
+  for (i64 k = 0; k < npairs; k++) {
+    const i64 Wd = cls(w[pr_d[k]]);
+    const i64 Ws = cls(w[pr_s[k]]);
+    for (i64 i = Iptr[k]; i < Iptr[k + 1]; i++) {
+      I_pos[i] += Wd;
+      if (I_tgt[i] < 0) I_tgt[i] = Ws + (-I_tgt[i] - 1);
+    }
+    for (i64 i = Lptr[k]; i < Lptr[k + 1]; i++) L_pos[i] += Wd;
+  }
+}
+
+// Relaxed amalgamation of fundamental supernodes (superscan planner):
+// greedily merge CONSECUTIVE groups while the merged panel stays dense
+// enough (nnz >= tau * rows * width) or narrow (width <= small_w).
+// Group i spans columns [starts[i], starts[i+1]); its od rows are
+// colrows[colptr[c0] + (c1-1-c0) : colptr[c0+1]] (strictly-lower
+// pattern of the group's first column, past the diagonal block).
+// mode 0 sizes the outputs; mode 1 fills merged group boundaries
+// (mstarts, ng+1 entries) and the ragged merged od lists (odptr ng+1,
+// odcat).  Twin of the Python fallback in superscan._build_panels.
+void ts_amalg(i64 ngroups, const i64 *starts, const i64 *colptr,
+              const i64 *colrows, const i64 *cnt, double tau,
+              i64 small_w, i64 wmax, int mode, i64 *sizes,
+              i64 *mstarts, i64 *odptr, i64 *odcat) {
+  std::vector<i64> cur;   // current merged od rows (sorted)
+  std::vector<i64> tmp;
+  i64 ng = 0, nod = 0;
+  i64 a0 = 0, a1 = 0;     // current merged column range
+  i64 nnz = 0;
+  auto group_od = [&](i64 i, const i64 *&lo, const i64 *&hi) {
+    i64 c0 = starts[i], c1 = starts[i + 1];
+    lo = colrows + colptr[c0] + (c1 - 1 - c0);
+    hi = colrows + colptr[c0 + 1];
+  };
+  auto flush = [&]() {
+    if (mode == 1) {
+      mstarts[ng] = a0;
+      odptr[ng] = nod;
+      for (size_t q = 0; q < cur.size(); q++) odcat[nod + q] = cur[q];
+    }
+    nod += (i64)cur.size();
+    ng++;
+  };
+  for (i64 i = 0; i < ngroups; i++) {
+    const i64 *glo, *ghi;
+    group_od(i, glo, ghi);
+    i64 c1 = starts[i + 1];
+    i64 gnnz = 0;
+    for (i64 j = starts[i]; j < c1; j++) gnnz += cnt[j];
+    if (i == 0) {
+      a0 = starts[0];
+      a1 = c1;
+      cur.assign(glo, ghi);
+      nnz = gnnz;
+      continue;
+    }
+    i64 w_m = c1 - a0;
+    if (w_m <= wmax) {
+      // merged od = union(cur, [glo,ghi)) filtered >= c1, both sorted
+      tmp.clear();
+      const i64 *p1 = cur.data(), *e1 = cur.data() + cur.size();
+      const i64 *p2 = glo, *e2 = ghi;
+      while (p1 < e1 || p2 < e2) {
+        i64 v;
+        if (p2 == e2 || (p1 < e1 && *p1 < *p2)) v = *p1++;
+        else if (p1 == e1 || *p2 < *p1) v = *p2++;
+        else { v = *p1++; p2++; }
+        if (v >= c1) tmp.push_back(v);
+      }
+      i64 r_m = w_m + (i64)tmp.size();
+      i64 nnz_m = nnz + gnnz;
+      i64 area = r_m * w_m;
+      if ((double)nnz_m >= tau * (double)(area > 0 ? area : 1)
+          || w_m <= small_w) {
+        a1 = c1;
+        cur.swap(tmp);
+        nnz = nnz_m;
+        continue;
+      }
+    }
+    flush();
+    a0 = starts[i];
+    a1 = c1;
+    cur.assign(glo, ghi);
+    nnz = gnnz;
+  }
+  if (ngroups > 0) flush();
+  if (mode == 0) {
+    sizes[0] = ng;
+    sizes[1] = nod;
+  } else {
+    mstarts[ng] = a1;
+    odptr[ng] = nod;
+  }
+}
+
 // EDF greedy assignment of units to steps (superscan planner): units
 // arrive sorted by deadline; each is placed at the earliest non-full
 // step >= its release ("next free step" union-find with path
