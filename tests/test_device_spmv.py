@@ -157,3 +157,28 @@ def test_sell_windowed_gather(rng):
     # gaxpy contract and auto selection
     y2 = np.asarray(plan.gaxpy(x, np.ones(n)))
     assert np.allclose(y2, yref + 1.0, atol=1e-4)
+
+
+def test_sell_kernel_versions_match(rng, monkeypatch):
+    """Both SELL kernels (v1 broadcast-row, v2 sublane-aligned) compute
+    the same product; v2 is the default (one gather per window tile per
+    sub-step instead of eight)."""
+    import scipy.sparse as sp
+    from tpusparse.core import CSCMatrix
+    from tpusparse.device.spmv import spmv_plan
+    n = 3000
+    M = sp.random(n, n, density=0.002, random_state=7, format="csc")
+    M = (M + M.T + sp.eye(n) * 5).tocsc()
+    M.sort_indices()
+    A = CSCMatrix(n, n, M.indptr, M.indices, M.data)
+    x = rng.normal(size=n).astype(np.float32)
+    yref = M @ x
+    ys = {}
+    for ver in ("1", "2"):
+        monkeypatch.setenv("TPUSPARSE_SELL_KERNEL", ver)
+        plan = spmv_plan(A, mode="sell")
+        assert plan.mode == "sell"
+        ys[ver] = np.asarray(plan.apply(x))
+        err = np.abs(ys[ver] - yref).max() / np.abs(yref).max()
+        assert err < 1e-5
+    assert np.allclose(ys["1"], ys["2"], rtol=1e-5, atol=1e-6)

@@ -47,6 +47,30 @@ def sell_supported() -> bool:
     return _HAS_PALLAS
 
 
+def _kernel_v2(win_ref, pos_ref, vals_ref, x_ref, o_ref, *, S: int,
+               TW: int):
+    """Sublane-aligned variant: the planner places every entry at the
+    slab SUBLANE equal to its x-position's sublane ((pos>>7)&7), so one
+    take_along_axis per window tile gathers all 8 sublanes at once —
+    TW gathers + TW selects per sub-step instead of 8*TW (the v1
+    broadcast-row decomposition).  pos packs lane (bits 0-6) and tile
+    (bits 10+); the sublane bits are implicit in the slot."""
+    i = pl.program_id(0)
+    t = win_ref[i]
+    acc = jnp.zeros((8, 128), jnp.float32)
+    for s in range(S):
+        pos = pos_ref[0, s]                     # (8, 128)
+        vals = vals_ref[0, s]
+        lane = pos & 127
+        tl = pos >> 10
+        g = jnp.zeros((8, 128), jnp.float32)
+        for j in range(TW):
+            gj = jnp.take_along_axis(x_ref[t + j], lane, axis=1)
+            g = jnp.where(tl == j, gj, g)
+        acc = acc + vals * g
+    o_ref[0] = jnp.sum(acc, axis=0, keepdims=True)
+
+
 def _kernel(win_ref, pos_ref, vals_ref, x_ref, o_ref, *, S: int, TW: int):
     i = pl.program_id(0)
     t = win_ref[i]
@@ -70,10 +94,13 @@ def _kernel(win_ref, pos_ref, vals_ref, x_ref, o_ref, *, S: int, TW: int):
     o_ref[0] = jnp.sum(acc, axis=0, keepdims=True)
 
 
-def build_sell_call(NB: int, S: int, ntiles: int, TW: int):
+def build_sell_call(NB: int, S: int, ntiles: int, TW: int,
+                    version: int = 2):
     """pallas_call computing (NB, 1, 128) row sums from slabs + the
-    tiled x (ntiles, 8, 128)."""
-    kern = functools.partial(_kernel, S=S, TW=TW)
+    tiled x (ntiles, 8, 128).  version 2 = sublane-aligned packing
+    (default), 1 = broadcast-row decomposition."""
+    kern = functools.partial(_kernel_v2 if version == 2 else _kernel,
+                             S=S, TW=TW)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NB,),

@@ -168,14 +168,22 @@ class SpmvPlan:
         return self._apply_many(*self._bufs, X)[:self.m]
 
 
-def _build_sell(A: CSCMatrix, max_s: int = 4, max_tw: int = 4):
+def _build_sell(A: CSCMatrix, max_s: int = None, max_tw: int = 4):
     """Plan the SELL-128 windowed-gather layout (see
     kernels.sell_spmv): RCM permutation, rows->lanes slabs, per-block
     multi-tile window selection, out-of-window/overflow spill to a COO
-    pass.  Returns None when the kernel stack is unavailable."""
+    pass.  TPUSPARSE_SELL_KERNEL selects the kernel (2 default:
+    sublane-aligned packing, one gather per window tile per sub-step;
+    1: broadcast-row decomposition, 8 gathers per tile).  The whole
+    packing is vectorized (the round-2 per-row loop took 10 s at
+    n=131k).  Returns None when the kernel stack is unavailable."""
+    import os
     from .kernels.sell_spmv import TILE, build_sell_call, sell_supported
     if not sell_supported() or A.m != A.n or A.nnz == 0:
         return None
+    version = int(os.environ.get("TPUSPARSE_SELL_KERNEL", "2"))
+    if max_s is None:
+        max_s = 8 if version == 2 else 4
     n = A.n
     from ..symbolic.rcm import rcm
     from ..core.ops import permute
@@ -183,7 +191,7 @@ def _build_sell(A: CSCMatrix, max_s: int = 4, max_tw: int = 4):
     p = rcm(A)
     piv = _pinv(p)
     C = permute(A, piv, p, values=True)
-    # CSR-style slabs: entries grouped by row (RCM coordinates)
+    # CSR-style entries grouped by row (RCM coordinates)
     cols_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(C.indptr))
     rows_e, cols_e, vals_e = C.indices, cols_of, C.data
     order = np.argsort(rows_e, kind="stable")
@@ -203,72 +211,78 @@ def _build_sell(A: CSCMatrix, max_s: int = 4, max_tw: int = 4):
     spread = float(np.percentile(spreads, 95)) if spreads else 0.0
     TW = int(np.clip(-(-(spread + TILE) // TILE), 1, max_tw))
     ntiles = max(-(-n // TILE), 1) + TW          # slack for clamping
-    # blocks are partitioned into S-classes {1,2,...,max_s} by their max
-    # in-window row length, so slab padding tracks each block's need
-    # instead of the global worst case
-    blocks = []          # (bid, w, S_b, rows data)
-    spill_r, spill_c, spill_v = [], [], []
+    w_blk = np.zeros(NB, np.int64)
     for b in range(NB):
-        r0, r1 = b * 128, min((b + 1) * 128, n)
-        lo, hi = rptr[r0], rptr[r1]
-        bc = cols_e[lo:hi]
+        lo, hi = rptr[b * 128], rptr[min((b + 1) * 128, n)]
         if hi > lo:
-            w = int(np.clip((np.median(bc) - TW * TILE // 2) // TILE,
-                            0, ntiles - TW))
-        else:
-            w = 0
-        base = w * TILE
-        rows_data = []
-        kmax = 0
-        for r in range(r0, r1):
-            e0, e1 = rptr[r], rptr[r + 1]
-            cc, vv = cols_e[e0:e1], vals_e[e0:e1]
-            ok = (cc >= base) & (cc < base + TW * TILE)
-            cin, vin = cc[ok], vv[ok]
-            k = min(cin.size, max_s * 8)
-            kmax = max(kmax, k)
-            rows_data.append((r - r0, cin[:k] - base, vin[:k]))
-            for csp, vsp in ((cin[k:], vin[k:]), (cc[~ok], vv[~ok])):
-                if csp.size:
-                    spill_r.append(np.full(csp.size, r))
-                    spill_c.append(csp)
-                    spill_v.append(vsp)
-        Sb = 1
-        while Sb * 8 < kmax:
-            Sb *= 2
-        Sb = min(Sb, max_s)
-        blocks.append((b, w, Sb, rows_data))
-    nsp = sum(x.size for x in spill_r)
-    sr = (np.concatenate(spill_r) if nsp else np.zeros(0, np.int64))
-    sc = (np.concatenate(spill_c) if nsp else np.zeros(0, np.int64))
-    sv = (np.concatenate(spill_v) if nsp else np.zeros(0))
-
-    classes = sorted({blk[2] for blk in blocks})
+            w_blk[b] = int(np.clip(
+                (np.median(cols_e[lo:hi]) - TW * TILE // 2) // TILE,
+                0, ntiles - TW))
+    # --- vectorized slot assignment -----------------------------------------
+    blk = rows_e // 128
+    pos = cols_e - w_blk[blk] * TILE
+    ok = (pos >= 0) & (pos < TW * TILE)
+    lane = rows_e % 128
+    idx_in = np.where(ok)[0]
+    if version == 2:
+        q_of = (pos[idx_in] >> 7) & 7
+        grp = rows_e[idx_in] * 8 + q_of
+    else:
+        grp = rows_e[idx_in]
+    o2 = np.argsort(grp, kind="stable")
+    gs = grp[o2]
+    cc = np.zeros(gs.size, np.int64)
+    if gs.size:
+        newg = np.concatenate([[True], gs[1:] != gs[:-1]])
+        gstart = np.where(newg)[0]
+        glen = np.diff(np.concatenate([gstart, [gs.size]]))
+        cc0 = np.arange(gs.size) - np.repeat(gstart, glen)
+        cc[o2] = cc0
+    if version == 2:
+        s_of = cc
+    else:
+        s_of, q_of = cc // 8, cc % 8
+    keep = s_of < max_s
+    kept = idx_in[keep]
+    s_k, q_k = s_of[keep], q_of[keep]
+    # spill: out-of-window entries + per-slot overflow
+    spm = np.ones(rows_e.size, bool)
+    spm[kept] = False
+    sr = rows_e[spm]
+    sc = cols_e[spm]
+    sv = vals_e[spm]
+    nsp = sr.size
+    # per-block S class from the max used sub-step
+    smax_blk = np.zeros(NB, np.int64)
+    if kept.size:
+        np.maximum.at(smax_blk, blk[kept], s_k + 1)
+    Sb_arr = np.maximum(2 ** np.ceil(np.log2(
+        np.maximum(smax_blk, 1))).astype(np.int64), 1)
+    Sb_arr = np.minimum(Sb_arr, max_s)
+    classes = sorted(set(Sb_arr.tolist()))
     calls = []           # (call, S, bids, winsel, pos, vals)
-    slab_nnz = 0
+    slab_nnz = int(kept.size)
     bytes_padded = nsp * 16 + (2 * n) * 4 + n * 8
+    slab_slots = 0
     for S in classes:
-        sel = [blk for blk in blocks if blk[2] == S]
-        NBc = len(sel)
-        pos = np.zeros((NBc, S, 8, 128), np.int32)
-        vals = np.zeros((NBc, S, 8, 128), np.float32)
-        winsel = np.zeros(NBc, np.int32)
-        bids = np.zeros(NBc, np.int32)
-        for i, (b, w, _s, rows_data) in enumerate(sel):
-            winsel[i] = w
-            bids[i] = b
-            for lane, cin, vin in rows_data:
-                k = cin.size
-                ks = np.arange(k)
-                pos[i, ks // 8, ks % 8, lane] = cin
-                vals[i, ks // 8, ks % 8, lane] = vin
-        calls.append((build_sell_call(NBc, S, ntiles, TW), S,
-                      jnp.asarray(bids), jnp.asarray(winsel),
-                      jnp.asarray(pos), jnp.asarray(vals)))
-        slab_nnz += int((vals != 0).sum())
-        bytes_padded += pos.size * 8
+        bsel = np.where(Sb_arr == S)[0]
+        NBc = bsel.size
+        imap = np.full(NB, -1, np.int64)
+        imap[bsel] = np.arange(NBc)
+        pos_s = np.zeros((NBc, S, 8, 128), np.int32)
+        vals_s = np.zeros((NBc, S, 8, 128), np.float32)
+        msk = imap[blk[kept]] >= 0
+        e, es, eq = kept[msk], s_k[msk], q_k[msk]
+        pos_s[imap[blk[e]], es, eq, lane[e]] = pos[e]
+        vals_s[imap[blk[e]], es, eq, lane[e]] = vals_e[e]
+        calls.append((build_sell_call(NBc, S, ntiles, TW,
+                                      version=version), S,
+                      jnp.asarray(bsel.astype(np.int32)),
+                      jnp.asarray(w_blk[bsel].astype(np.int32)),
+                      jnp.asarray(pos_s), jnp.asarray(vals_s)))
+        bytes_padded += pos_s.size * 8
+        slab_slots += pos_s.size
     npad = ntiles * TILE
-    nslots = sum(1 for _ in classes)
 
     def apply_fn(sr_d, sc_d, sv_d, pvec_d, piv_d, *bufs_and_x):
         *flat, x = bufs_and_x
@@ -293,9 +307,8 @@ def _build_sell(A: CSCMatrix, max_s: int = 4, max_tw: int = 4):
             jnp.asarray(p.astype(np.int32)),
             jnp.asarray(piv.astype(np.int32)), *flat_bufs)
     return dict(apply=jax.jit(apply_fn), bufs=bufs, NB=NB,
-                S=max(classes), TW=TW, spill=nsp, slab_nnz=slab_nnz,
-                slab_slots=sum(
-                    c[4].size for c in calls),
+                S=max(classes), TW=TW, spill=int(nsp),
+                slab_nnz=slab_nnz, slab_slots=slab_slots,
                 bytes_padded=bytes_padded)
 
 
