@@ -141,3 +141,45 @@ def test_superscan_factor_checkpoint(rng, tmp_path):
     x = F2.solve(b)          # no re-factorization needed
     from helpers import resid
     assert resid(d, x, b) < 1e-12
+
+
+def test_superscan_lu_factor_checkpoint(rng, tmp_path):
+    from tpusparse.core import csc_from_dense
+    from tpusparse.device.superscan_lu import SuperscanLU
+    from tpusparse.utils.checkpoint import (load_superscan_lu_factor,
+                                            save_superscan_lu_factor)
+    n = 40
+    d = rng.normal(size=(n, n)) * (rng.random((n, n)) < 0.3)
+    d = d + n * np.eye(n)                 # unsymmetric, diag-dominant
+    A = csc_from_dense(d)
+    F = SuperscanLU(A, order=1, wmax=16, tau=0.9, small_w=4)
+    assert F.factor()
+    pth = str(tmp_path / "sslu.npz")
+    save_superscan_lu_factor(pth, F)
+    F2 = load_superscan_lu_factor(pth, A, order=1, wmax=16, tau=0.9,
+                                  small_w=4)
+    assert F2.perturbed == F.perturbed
+    b = rng.normal(size=n)
+    x = F2.solve(b)          # no re-factorization needed
+    from helpers import resid
+    assert resid(d, x, b) < 1e-12
+
+
+def test_sparse_qr_factor_checkpoint(rng, tmp_path):
+    from tpusparse.core import csc_from_dense
+    from tpusparse.device.qr_tpu import SparseQR
+    from tpusparse.utils.checkpoint import (load_sparse_qr_factor,
+                                            save_sparse_qr_factor)
+    m, n = 60, 30
+    d = rng.normal(size=(m, n)) * (rng.random((m, n)) < 0.4)
+    d[np.arange(n), np.arange(n)] += 5.0
+    A = csc_from_dense(d)
+    F = SparseQR(A, wmax=16, tau=0.9, small_w=4)
+    assert F.rank_ok
+    pth = str(tmp_path / "ssqr.npz")
+    save_sparse_qr_factor(pth, F)
+    F2 = load_sparse_qr_factor(pth, A, wmax=16, tau=0.9, small_w=4)
+    b = rng.normal(size=m)
+    x = F2.solve_ls(b)
+    xref = np.linalg.lstsq(d, b, rcond=None)[0]
+    assert np.allclose(x, xref, atol=1e-8)

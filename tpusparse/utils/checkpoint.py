@@ -21,7 +21,9 @@ from ..symbolic.plan import Symbolic
 
 __all__ = ["save_symbolic", "load_symbolic", "save_numeric", "load_numeric",
            "save_chol_factor", "load_chol_factor",
-           "save_superscan_factor", "load_superscan_factor"]
+           "save_superscan_factor", "load_superscan_factor",
+           "save_superscan_lu_factor", "load_superscan_lu_factor",
+           "save_sparse_qr_factor", "load_sparse_qr_factor"]
 
 _OPT_FIELDS = ("pinv", "q", "parent", "cp", "leftmost")
 
@@ -183,4 +185,66 @@ def load_superscan_factor(path: str, A: CSCMatrix, **plan_kwargs):
             raise ValueError("checkpoint pool shapes do not match")
         pools[pw] = jnp.asarray(z[key])
     F.pools = pools
+    return F
+
+
+def save_superscan_lu_factor(path: str, F) -> None:
+    """Persist a factored SuperscanLU: the mirrored L/U row pools plus
+    the plan identity (perm, n) and the pivot-perturbation count."""
+    if F.pools is None:
+        raise ValueError("factor() first")
+    plan = F.plan
+    d = {"perm": plan.perm, "n": np.array([plan.n]),
+         "perturbed": np.array([F.perturbed]),
+         "lnz": np.array([plan.lnz])}
+    for (side, pw), v in F.pools.items():
+        d[f"pool_{side}_{pw}"] = np.asarray(v)
+    np.savez_compressed(path, **d)
+
+
+def load_superscan_lu_factor(path: str, A: CSCMatrix, **plan_kwargs):
+    """Restore a factored SuperscanLU bound to matrix A: the plan and
+    initial value scatter are rebuilt (deterministic), the factored
+    pools injected — skipping the numeric factorization and its device
+    compiles."""
+    import jax.numpy as jnp
+
+    from ..device.superscan_lu import SuperscanLU
+    z = np.load(path)
+    F = SuperscanLU(A, **plan_kwargs)
+    if int(z["n"][0]) != F.plan.n or not np.array_equal(
+            z["perm"], F.plan.perm):
+        raise ValueError("checkpoint does not match this matrix/plan")
+    pools = {}
+    for side in ("L", "U"):
+        for pw in F.plan.pool_init:
+            key = f"pool_{side}_{pw}"
+            if (key not in z
+                    or z[key].shape != F.plan.pool_init[pw].shape):
+                raise ValueError("checkpoint pool shapes do not match")
+            pools[(side, pw)] = jnp.asarray(z[key])
+    F.pools = pools
+    F.perturbed = int(z["perturbed"][0])
+    return F
+
+
+def save_sparse_qr_factor(path: str, F) -> None:
+    """Persist a SparseQR (Q-less R of A'A): delegates to the superscan
+    checkpoint of the inner Cholesky of A'A."""
+    if not F.rank_ok:
+        raise ValueError("rank-deficient factor cannot be checkpointed")
+    save_superscan_factor(path, F.F)
+
+
+def load_sparse_qr_factor(path: str, A: CSCMatrix, **superscan_kw):
+    """Restore a SparseQR bound to A without re-running the numeric
+    factorization: A'A and the plan are rebuilt, pools injected."""
+    from ..core.ops import multiply, transpose
+    from ..device.qr_tpu import SparseQR
+    F = SparseQR.__new__(SparseQR)
+    F.A = A
+    F.At = transpose(A, values=True)
+    F.AtA = multiply(F.At, A)
+    F.F = load_superscan_factor(path, F.AtA, order=1, **superscan_kw)
+    F.rank_ok = True
     return F
