@@ -194,3 +194,16 @@ def test_aggregated_update_path(rng, monkeypatch):
         # device solve path too (scan solve shares the factor pools)
         x2 = F.solve_host(b)
         assert resid(d, x2, b) < 1e-12
+
+
+def test_pallas_chol_tiles_in_superscan(rng, monkeypatch):
+    """TPUSPARSE_PALLAS_CHOL=1 routes the batched diagonal-block
+    factorizations through the Pallas tile kernel (interpret mode off
+    TPU) — results match the XLA path."""
+    monkeypatch.setenv("TPUSPARSE_PALLAS_CHOL", "1")
+    d, A = _spd(rng, 64, 0.2)
+    F = SuperscanCholesky(A, order=1, wmax=16, tau=0.9, small_w=4)
+    assert F.factor()
+    b = rng.normal(size=64)
+    x = F.solve(b)
+    assert resid(d, x, b) < 1e-12

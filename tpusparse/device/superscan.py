@@ -1113,8 +1113,13 @@ def _segment_factor(seg_keys: Tuple, shard_fn=None,
     gather each ancestor pair's sub-block and scatter-add it into the
     target pool.  Scratch rows are only read in the step that wrote
     them, so one (scratch_rows, 128) carry serves the whole scan; its
-    last row is the dump slot for padded indices."""
+    last row is the dump slot for padded indices.
+
+    TPUSPARSE_PALLAS_CHOL=1 factors the batched diagonal blocks with
+    the Pallas tile kernel (kernels.chol_tile, right-looking in VMEM)
+    instead of jnp.linalg.cholesky — same NaN failure contract."""
     has_agg = scratch_rows > 0
+    use_pallas_chol = bool(os.environ.get("TPUSPARSE_PALLAS_CHOL"))
 
     def run(pools: Dict[int, jnp.ndarray], xs: Dict):
         def body(carry, x):
@@ -1202,7 +1207,11 @@ def _segment_factor(seg_keys: Tuple, shard_fn=None,
                 P = jax.lax.slice_in_dim(pools[pw], 0, W, axis=1)[idx]
                 low = jnp.tril(P)
                 sym = low + jnp.swapaxes(jnp.tril(P, -1), 1, 2)
-                Lkk = jnp.linalg.cholesky(sym)
+                if use_pallas_chol:
+                    from .kernels.chol_tile import chol_tiles
+                    Lkk = chol_tiles(sym)
+                else:
+                    Lkk = jnp.linalg.cholesky(sym)
                 if W < pools[pw].shape[1]:
                     Lkk = jnp.pad(
                         Lkk, ((0, 0), (0, 0),
