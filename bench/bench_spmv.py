@@ -42,19 +42,33 @@ def irregular_graph(n, k=6, seed=0):
     return CSCMatrix(n, n, M.indptr, M.indices, M.data)
 
 
-def measure(plan, n, jax, jnp, reps=50):
-    bufs = plan._bufs
-    apply_fn = plan._apply
+def measure(plan, n, jax, jnp, reps=50, permuted=False):
+    """Serialized-loop timing of plan.apply, or (permuted=True) of the
+    SELL permuted-space kernel — the steady-state iterative-consumer op
+    without the two n-sized permutation gathers."""
     x0 = jnp.asarray(np.random.default_rng(0).normal(size=n),
                      jnp.float32)
     np.asarray(plan.apply(x0))
+    if permuted:
+        sr, sc, sv, _pv, _pi, *flat = plan._bufs
+        kern = plan._kernel
 
-    @jax.jit
-    def loop(x):
-        def body(i, x):
-            y = apply_fn(*bufs, x)[:n]
-            return 0.125 * y
-        return jax.lax.fori_loop(0, reps, body, x)
+        @jax.jit
+        def loop(x):
+            def body(i, x):
+                y = kern(sr, sc, sv, *flat, x)[:n]
+                return 0.125 * y
+            return jax.lax.fori_loop(0, reps, body, x)
+    else:
+        bufs = plan._bufs
+        apply_fn = plan._apply
+
+        @jax.jit
+        def loop(x):
+            def body(i, x):
+                y = apply_fn(*bufs, x)[:n]
+                return 0.125 * y
+            return jax.lax.fori_loop(0, reps, body, x)
 
     loop(x0).block_until_ready()
     ts = []
@@ -100,6 +114,12 @@ def main():
                      f"spill={plan.spill}/{A.nnz}")
             out["sell_spill_frac"] = round(float(plan.spill) / A.nnz, 4)
             out["sell_waste"] = round(plan.waste_ratio, 4)
+            tp = measure(plan, A.n, jax, jnp, permuted=True)
+            gbp = plan.bytes_min / tp / 1e9
+            log(f"sell permuted-space (CG steady state): "
+                f"{tp*1e6:.1f} us -> {gbp:.2f} GB/s (min-bytes)")
+            out["sell_permuted_gbs"] = round(gbp, 2)
+            out["sell_permuted_t_us"] = round(tp * 1e6, 1)
         log(f"{mode}: plan {t_plan:.1f}s, {t*1e6:.1f} us -> "
             f"{gbs:.2f} GB/s (min-bytes){extra}")
         out[f"{mode}_gbs"] = round(gbs, 2)

@@ -182,3 +182,24 @@ def test_sell_kernel_versions_match(rng, monkeypatch):
         err = np.abs(ys[ver] - yref).max() / np.abs(yref).max()
         assert err < 1e-5
     assert np.allclose(ys["1"], ys["2"], rtol=1e-5, atol=1e-6)
+
+
+def test_sell_apply_permuted(rng):
+    """apply_permuted computes P A P' @ xp — the steady-state iterative
+    op; consistency: apply(x) == ipermute(apply_permuted(permute(x)))."""
+    import scipy.sparse as sp
+    from tpusparse.core import CSCMatrix
+    from tpusparse.device.spmv import spmv_plan
+    n = 2000
+    M = sp.random(n, n, density=0.003, random_state=3, format="csc")
+    M = (M + M.T + sp.eye(n) * 5).tocsc()
+    M.sort_indices()
+    A = CSCMatrix(n, n, M.indptr, M.indices, M.data)
+    plan = spmv_plan(A, mode="sell")
+    x = rng.normal(size=n).astype(np.float32)
+    y = np.asarray(plan.apply(x))
+    p = plan.perm
+    yp = np.asarray(plan.apply_permuted(x[p]))
+    y2 = np.empty(n, np.float32)
+    y2[p] = yp          # scatter back: y[p[i]] = yp[i]
+    assert np.allclose(y, y2, rtol=1e-5, atol=1e-6)

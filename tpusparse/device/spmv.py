@@ -143,12 +143,27 @@ class SpmvPlan:
     _apply: Callable = None
     _bufs: tuple = None
     _apply_many: Callable = None
+    _kernel: Callable = None        # sell: permuted-space matvec
+    perm: np.ndarray = None         # sell: RCM row/col permutation
 
     def apply(self, x) -> jnp.ndarray:
         """y = A @ x (device)."""
         x = jnp.asarray(x, DTYPE)
         y = self._apply(*self._bufs, x)
         return y[:self.m]
+
+    def apply_permuted(self, xp) -> jnp.ndarray:
+        """y_perm = (P A P') @ x_perm for the SELL plan: the slab kernel
+        + COO spill WITHOUT the two n-sized permutation gathers, which
+        cost ~3x the kernel itself on hardware (BASELINE.md round-3
+        attribution: 911us vs 2738us at n=131k).  Iterative consumers
+        (CG & friends) permute once with ``perm`` and stay in permuted
+        space; symmetric A keeps A_perm symmetric."""
+        if self._kernel is None:
+            raise ValueError("apply_permuted is only for mode='sell'")
+        sr, sc, sv, _pv, _pi, *flat = self._bufs
+        xp = jnp.asarray(xp, DTYPE)
+        return self._kernel(sr, sc, sv, *flat, xp)[:self.m]
 
     def gaxpy(self, x, y) -> jnp.ndarray:
         """y + A @ x — the reference cs_gaxpy contract, functional."""
@@ -172,16 +187,21 @@ def _build_sell(A: CSCMatrix, max_s: int = None, max_tw: int = 4):
     """Plan the SELL-128 windowed-gather layout (see
     kernels.sell_spmv): RCM permutation, rows->lanes slabs, per-block
     multi-tile window selection, out-of-window/overflow spill to a COO
-    pass.  TPUSPARSE_SELL_KERNEL selects the kernel (2 default:
-    sublane-aligned packing, one gather per window tile per sub-step;
-    1: broadcast-row decomposition, 8 gathers per tile).  The whole
-    packing is vectorized (the round-2 per-row loop took 10 s at
-    n=131k).  Returns None when the kernel stack is unavailable."""
+    pass.  TPUSPARSE_SELL_KERNEL selects the kernel (1 default:
+    broadcast-row decomposition, measured best on hardware; 2:
+    sublane-aligned packing, one gather per window tile per sub-step —
+    measured tie on time at 2.5x the slab memory).  The whole packing
+    is vectorized (the round-2 per-row loop took 10 s at n=131k).
+    Returns None when the kernel stack is unavailable."""
     import os
     from .kernels.sell_spmv import TILE, build_sell_call, sell_supported
     if not sell_supported() or A.m != A.n or A.nnz == 0:
         return None
-    version = int(os.environ.get("TPUSPARSE_SELL_KERNEL", "2"))
+    # v1 measured best on hardware: v2's 8x fewer gather ops tie on
+    # time (relay-floor bound) while its sublane-aligned slabs carry
+    # ~2.5x the memory (kernel+spill 911us vs 1045us at n=131k; see
+    # BASELINE.md round-3 SpMV attribution)
+    version = int(os.environ.get("TPUSPARSE_SELL_KERNEL", "1"))
     if max_s is None:
         max_s = 8 if version == 2 else 4
     n = A.n
@@ -284,20 +304,27 @@ def _build_sell(A: CSCMatrix, max_s: int = None, max_tw: int = 4):
         slab_slots += pos_s.size
     npad = ntiles * TILE
 
-    def apply_fn(sr_d, sc_d, sv_d, pvec_d, piv_d, *bufs_and_x):
-        *flat, x = bufs_and_x
-        xp = x[pvec_d]
-        xpad = jnp.zeros(npad, DTYPE).at[:x.size].set(xp)
+    def kernel_fn(sr_d, sc_d, sv_d, *bufs_and_xp):
+        """y_perm = C @ x_perm — slabs + spill in RCM coordinates; the
+        steady-state op for iterative consumers (the two n-sized
+        permutation gathers cost ~3x the kernel on hardware)."""
+        *flat, xp = bufs_and_xp
+        xpad = jnp.zeros(npad, DTYPE).at[:xp.size].set(xp)
         xtiles = xpad.reshape(ntiles, 8, 128)
         yb = jnp.zeros((NB, 128), DTYPE)
         for ci, (call, S, *_rest) in enumerate(calls):
             bids_d, winsel_d, pos_d, vals_d = flat[4 * ci:4 * ci + 4]
             out = call(winsel_d, pos_d, vals_d, xtiles)
             yb = yb.at[bids_d].set(out.reshape(-1, 128))
-        y = yb.reshape(-1)[:x.size]
+        y = yb.reshape(-1)[:xp.size]
         if sr_d.size:
             y = y.at[sr_d].add(sv_d * xp[sc_d])
-        return y[piv_d]
+        return y
+
+    def apply_fn(sr_d, sc_d, sv_d, pvec_d, piv_d, *bufs_and_x):
+        *flat, x = bufs_and_x
+        xp = x[pvec_d]
+        return kernel_fn(sr_d, sc_d, sv_d, *flat, xp)[piv_d]
 
     flat_bufs = []
     for (_call, _S, bids_d, winsel_d, pos_d, vals_d) in calls:
@@ -306,7 +333,8 @@ def _build_sell(A: CSCMatrix, max_s: int = None, max_tw: int = 4):
             jnp.asarray(sc.astype(np.int32)), jnp.asarray(sv, DTYPE),
             jnp.asarray(p.astype(np.int32)),
             jnp.asarray(piv.astype(np.int32)), *flat_bufs)
-    return dict(apply=jax.jit(apply_fn), bufs=bufs, NB=NB,
+    return dict(apply=jax.jit(apply_fn), kernel=jax.jit(kernel_fn),
+                perm=p, bufs=bufs, NB=NB,
                 S=max(classes), TW=TW, spill=int(nsp),
                 slab_nnz=slab_nnz, slab_slots=slab_slots,
                 bytes_padded=bytes_padded)
@@ -352,7 +380,8 @@ def spmv_plan(A: CSCMatrix, mode: str = "auto") -> SpmvPlan:
                 waste_ratio=1.0 - plan["slab_nnz"]
                 / max(plan["slab_slots"], 1),
                 spill=plan["spill"],
-                _apply=plan["apply"], _bufs=plan["bufs"])
+                _apply=plan["apply"], _bufs=plan["bufs"],
+                _kernel=plan["kernel"], perm=plan["perm"])
     if mode == "dia":
         D = to_dia(A)
         fn = _build_dia_fn(D)
