@@ -156,3 +156,26 @@ def test_sharded_superscan_factor(rng):
     cm = superscan_comm_metrics(F.plan, 4)
     assert cm["comm_bytes_total"] >= 0
     assert cm["compute_flops_issued"] == F.plan.flops_padded
+
+
+def test_sharded_superscan_factor_aggregated(rng, monkeypatch):
+    """TPUSPARSE_AGG=1 on the mesh: the updg/upda phases shard their
+    unit batches (padded to the mesh size) and the per-step scratch
+    carry threads through the sharded scan body."""
+    import jax.numpy as jnp
+    from tpusparse.device.superscan import SuperscanCholesky
+    from tpusparse.parallel import sharded_superscan_factor
+    monkeypatch.setenv("TPUSPARSE_AGG", "1")
+    mesh = make_mesh(4)
+    n = 80
+    A, S = random_spd(rng, n, density=0.15)
+    F = SuperscanCholesky(A, order=1, wmax=16, tau=0.9, small_w=4)
+    kinds = {k[0] for s in F.plan.segments for k in s.xs}
+    assert "updg" in kinds and "upda" in kinds
+    factor = sharded_superscan_factor(F.plan, mesh)
+    pools = factor({pw: jnp.asarray(v)
+                    for pw, v in F.plan.pool_init.items()})
+    F.pools = pools
+    b = rng.normal(size=n)
+    x = F.solve_host(b)
+    assert resid(S.toarray(), x, b) < 1e-12

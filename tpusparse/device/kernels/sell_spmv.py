@@ -9,11 +9,12 @@ permutation):
     slab shapes (S, 8, 128) for values and window positions.  With
     mesh-like rows (~4-30 nnz) the slabs run ~90% full, unlike
     tile-based block formats whose (8,128) tiles hold a few nonzeros.
-  * x is consumed through a WINDOW of TW consecutive 1024-entry tiles
-    per block (x stored as (ntiles, 8, 128), window start picked per
-    block at tile granularity).  RCM makes a 128-row block's columns
-    land in one window for anything bandwidth-compressible; entries
-    that still do not fit spill to an XLA COO pass (counted).
+  * x is consumed through TW INDEPENDENT 1024-entry tile slots per
+    block (x stored as (ntiles, 8, 128); win_ref[i, j] = absolute tile
+    id of slot j).  RCM clusters a 128-row block's columns into a few
+    tiles — on kNN-class graphs 3 slots cover ~100% of entries, where
+    consecutive windows spilled 1-2% to the latency-dominated XLA COO
+    pass (the round-3 attribution's largest permuted-space cost).
   * the Mosaic gather primitive only gathers WITHIN 128 lanes with
     idx.shape == operand.shape (measured on this toolchain), so the
     window gather decomposes into 8*TW masked lane-gathers, one per
@@ -53,10 +54,12 @@ def _kernel_v2(win_ref, pos_ref, vals_ref, x_ref, o_ref, *, S: int,
     slab SUBLANE equal to its x-position's sublane ((pos>>7)&7), so one
     take_along_axis per window tile gathers all 8 sublanes at once —
     TW gathers + TW selects per sub-step instead of 8*TW (the v1
-    broadcast-row decomposition).  pos packs lane (bits 0-6) and tile
-    (bits 10+); the sublane bits are implicit in the slot."""
+    broadcast-row decomposition).  pos packs lane (bits 0-6) and the
+    window SLOT (bits 10+); the sublane bits are implicit in the slot.
+    Window slots are INDEPENDENT tiles (win_ref[i, j]), not a
+    consecutive run — kNN-class graphs then cover ~100% of entries
+    with 3 slots where consecutive windows spilled 1-2%."""
     i = pl.program_id(0)
-    t = win_ref[i]
     acc = jnp.zeros((8, 128), jnp.float32)
     for s in range(S):
         pos = pos_ref[0, s]                     # (8, 128)
@@ -65,7 +68,8 @@ def _kernel_v2(win_ref, pos_ref, vals_ref, x_ref, o_ref, *, S: int,
         tl = pos >> 10
         g = jnp.zeros((8, 128), jnp.float32)
         for j in range(TW):
-            gj = jnp.take_along_axis(x_ref[t + j], lane, axis=1)
+            gj = jnp.take_along_axis(x_ref[win_ref[i, j]], lane,
+                                     axis=1)
             g = jnp.where(tl == j, gj, g)
         acc = acc + vals * g
     o_ref[0] = jnp.sum(acc, axis=0, keepdims=True)
@@ -73,11 +77,10 @@ def _kernel_v2(win_ref, pos_ref, vals_ref, x_ref, o_ref, *, S: int,
 
 def _kernel(win_ref, pos_ref, vals_ref, x_ref, o_ref, *, S: int, TW: int):
     i = pl.program_id(0)
-    t = win_ref[i]
     acc = jnp.zeros((8, 128), jnp.float32)
     subrows = []
     for j in range(TW):
-        tile = x_ref[t + j]                     # (8, 128)
+        tile = x_ref[win_ref[i, j]]             # (8, 128), slot j
         for q in range(8):
             subrows.append(jnp.broadcast_to(
                 tile[q].reshape(1, 128), (8, 128)))
