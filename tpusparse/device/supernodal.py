@@ -103,8 +103,15 @@ def _column_patterns(Cu: CSCMatrix, parent, cnt):
     """Exact strictly-lower column patterns of L from the row patterns."""
     n = Cu.n
     from .chol_tpu import _scalar_row_patterns
+    from .. import native
     rowptr, entries = _scalar_row_patterns(Cu, parent, cnt)
     # row k has cols entries[rowptr[k]:rowptr[k+1]] -> invert to columns
+    if native.available():
+        # O(nnz) counting sort (planner.cpp ts_invert)
+        colptr, colrows = native.invert_patterns(n, rowptr, entries)
+        if colrows.size == 0:
+            colrows = np.zeros(1, _IDX)
+        return colptr, colrows
     counts_lower = np.zeros(n, dtype=_IDX)
     np.add.at(counts_lower, entries, 1)
     colptr = np.zeros(n + 1, dtype=_IDX)

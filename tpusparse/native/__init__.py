@@ -70,6 +70,9 @@ def _load():
     lib.ts_amalg.argtypes = [I, IP, IP, IP, IP, ctypes.c_double, I, I,
                              ctypes.c_int, IP, IP, IP, IP]
     lib.ts_ss_finalize.argtypes = [I, IP, IP, IP, IP, IP, IP, IP, IP]
+    lib.ts_invert.argtypes = [I, IP, IP, IP, IP]
+    lib.ts_sympat.argtypes = [I, IP, IP, IP, IP]
+    lib.ts_sympat.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -153,6 +156,26 @@ def ltsolve(Lp, Li, Lx, b):
     lib.ts_ltsolve(len(Lp) - 1, _c64(Lp), _c64(Li),
                    np.ascontiguousarray(Lx, np.float64), x)
     return x
+
+
+def invert_patterns(n, rowptr, entries):
+    """Row patterns -> column patterns (planner.cpp ts_invert):
+    O(nnz) counting sort, rows ascending per column."""
+    lib = _load()
+    colptr = np.empty(n + 1, np.int64)
+    colrows = np.empty(max(int(rowptr[n]), 1), np.int64)
+    lib.ts_invert(n, _c64(rowptr), _c64(entries), colptr, colrows)
+    return colptr, colrows[:colptr[n]]
+
+
+def sympat(n, Ap, Ai):
+    """Pattern of A + A' minus the diagonal (planner.cpp ts_sympat);
+    returns (Cp, Ci) with sorted columns."""
+    lib = _load()
+    Cp = np.empty(n + 1, np.int64)
+    Ci = np.empty(max(2 * int(Ap[n]), 1), np.int64)
+    cnz = lib.ts_sympat(n, _c64(Ap), _c64(Ai), Cp, Ci)
+    return Cp, Ci[:cnz]
 
 
 def ss_finalize(pr_d, pr_s, Iptr, Lptr, w, I_pos, I_tgt, L_pos):

@@ -37,8 +37,15 @@ def _flip(i):
 def _build_quotient_input(order: int, A: CSCMatrix, dense: int) -> CSCMatrix:
     """Form the symmetric pattern C the AMD core runs on (reference:
     the preamble of cs_amd.c)."""
-    AT = transpose(A, values=False)
+    from .. import native
     m, n = A.m, A.n
+    if order == 1 and n == m and native.available():
+        # C++ fast path (planner.cpp ts_sympat): A + A' pattern union
+        # minus the diagonal, already fkeep'd — same output as the
+        # generic route below (parity-tested)
+        Cp, Ci = native.sympat(n, A.indptr, A.indices)
+        return CSCMatrix(n, n, Cp, Ci, None)
+    AT = transpose(A, values=False)
     if order == 1 and n == m:
         C = add(A.pattern(), AT, 1.0, 1.0)         # A + A' (pattern union)
     elif order == 2:
