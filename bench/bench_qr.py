@@ -84,7 +84,7 @@ def main():
             if not seg.xs:
                 continue
             keys = tuple(sorted(seg.xs))
-            sig = ("factor",) + tuple(
+            sig = ("factor", seg.scratch_rows) + tuple(
                 (k,) + tuple(a.shape) for k in keys
                 for a in seg.xs[k].values())
             pools = _JIT_CACHE[sig](pools, xs_dev[si])
