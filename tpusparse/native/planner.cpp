@@ -603,6 +603,9 @@ void ts_ss_pairs(i64 npan, i64 n, const i64 *c0, const i64 *w,
       const i64 tc0 = c0[t], tw = w[t];
       const i64 *ta = rows + rowptr[t];
       const i64 *tb = rows + rowptr[t + 1];
+      // both row lists are sorted: a sequential merge walk replaces the
+      // per-entry lower_bound (measured hot at 3D scale)
+      const i64 *tp = ta;
       for (i64 p = i; p < b; p++) {
         const i64 r = rows[p];
         i64 q, dg;
@@ -610,9 +613,9 @@ void ts_ss_pairs(i64 npan, i64 n, const i64 *c0, const i64 *w,
           q = r - tc0;
           dg = 1;
         } else {
-          const i64 *lo = std::lower_bound(ta, tb, r);
-          if (lo == tb || *lo != r) continue;    // structurally absent
-          q = -((lo - ta) + 1);
+          while (tp < tb && *tp < r) tp++;
+          if (tp == tb || *tp != r) continue;    // structurally absent
+          q = -((tp - ta) + 1);
           dg = 0;
         }
         if (mode == 1) {
