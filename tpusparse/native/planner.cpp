@@ -644,11 +644,11 @@ void ts_ss_pairs(i64 npan, i64 n, const i64 *c0, const i64 *w,
 // Invert row patterns to column patterns (superscan planner): row r
 // holds columns entries[rowptr[r]:rowptr[r+1]]; emits CSC-style
 // colptr/colrows with rows ascending per column (rows processed in
-// order, both passes stable).  For scattered (3D/AMD) patterns the
-// naive counting scatter costs ~400ns/entry (three random streams
-// over hundreds of MB), so large inputs are processed in 16M-entry
-// slabs partitioned into 256 column buckets: the final scatter then
-// touches one bucket's column range at a time (cache-resident).
+// order).  O(nnz) counting sort — replaces a 25M-entry numpy argsort.
+// (A 256-bucket slab variant was benchmarked 3x SLOWER than this
+// direct scatter at 20M entries — hardware prefetching handles the
+// random stream fine; earlier contrary measurements were CPU
+// contention from concurrent TPU jobs.)
 void ts_invert(i64 n, const i64 *rowptr, const i64 *entries,
                i64 *colptr, i64 *colrows) {
   const i64 nnz = rowptr[n];
@@ -656,35 +656,9 @@ void ts_invert(i64 n, const i64 *rowptr, const i64 *entries,
   for (i64 i = 0; i < nnz; i++) colptr[entries[i] + 1]++;
   for (i64 j = 0; j < n; j++) colptr[j + 1] += colptr[j];
   std::vector<i64> w(colptr, colptr + n);
-  const i64 SLAB = 16 << 20;
-  if (nnz <= (SLAB >> 2)) {
-    for (i64 r = 0; r < n; r++)
-      for (i64 p = rowptr[r]; p < rowptr[r + 1]; p++)
-        colrows[w[entries[p]]++] = r;
-    return;
-  }
-  const int NB = 256;
-  i64 sh = 0;
-  while (((n - 1) >> sh) >= NB) sh++;
-  std::vector<i64> st_r(SLAB), st_c(SLAB), bptr(NB + 1), bw(NB);
-  i64 cur_row = 0;
-  for (i64 p0 = 0; p0 < nnz; p0 += SLAB) {
-    const i64 p1 = std::min(p0 + SLAB, nnz);
-    std::fill(bptr.begin(), bptr.end(), (i64)0);
-    for (i64 q = p0; q < p1; q++) bptr[(entries[q] >> sh) + 1]++;
-    for (int b = 0; b < NB; b++) bptr[b + 1] += bptr[b];
-    for (int b = 0; b < NB; b++) bw[b] = bptr[b];
-    i64 rr = cur_row;
-    for (i64 q = p0; q < p1; q++) {
-      while (rowptr[rr + 1] <= q) rr++;
-      const i64 o = bw[entries[q] >> sh]++;
-      st_c[o] = entries[q];
-      st_r[o] = rr;
-    }
-    cur_row = rr;
-    const i64 m = p1 - p0;
-    for (i64 o = 0; o < m; o++) colrows[w[st_c[o]]++] = st_r[o];
-  }
+  for (i64 r = 0; r < n; r++)
+    for (i64 p = rowptr[r]; p < rowptr[r + 1]; p++)
+      colrows[w[entries[p]]++] = r;
 }
 
 // Pattern of A + A' minus the diagonal (CSC, sorted columns) — the
