@@ -48,16 +48,39 @@ def main():
     n = int(os.environ.get("TPUSPARSE_BENCH_LU_N", "50000"))
     segs = int(os.environ.get("TPUSPARSE_BENCH_SEGMENTS", "12"))
     rng = np.random.default_rng(1)
-    diags, offs = [], []
-    for off, scale in [(0, 4.5), (1, -1.0), (-1, -2.0), (40, -0.7),
-                       (-40, -0.4), (7, 0.5)]:
-        v = scale * (1.0 + 0.3 * rng.random(n - abs(off)))
-        diags.append(v)
-        offs.append(off)
-    S = sp.diags(diags, offs, format="csc")
-    A = CSCMatrix(n, n, S.indptr, S.indices, S.data)
-    log(f"lu bench: unsymmetric banded n={n}, nnz={A.nnz}, "
-        f"backend={jax.default_backend()}")
+    if os.environ.get("TPUSPARSE_BENCH_LU_GRID") == "3d":
+        # 3D convection-diffusion (upwinded, unsymmetric): the
+        # cs_lu-at-scale shape with a genuine 3D elimination tree
+        g = int(round(n ** (1.0 / 3.0)))
+        n = g * g * g
+        main = 6.5 * np.ones(n)
+        def band(off, lo_s, hi_s):
+            v = np.ones(n - abs(off))
+            if abs(off) == 1:
+                v[np.arange(1, n - abs(off) + 1) % g == 0] = 0.0
+            if abs(off) == g:
+                v[(np.arange(n - g) // g) % g == g - 1] = 0.0
+            return v
+        S = sp.diags(
+            [main,
+             -1.4 * band(1, 0, 0), -0.6 * band(-1, 0, 0),
+             -1.2 * band(g, 0, 0), -0.8 * band(-g, 0, 0),
+             -1.1 * np.ones(n - g * g), -0.9 * np.ones(n - g * g)],
+            [0, 1, -1, g, -g, g * g, -g * g], format="csc")
+        A = CSCMatrix(n, n, S.indptr, S.indices, S.data)
+        log(f"lu bench: 3D convection-diffusion g={g} n={n}, "
+            f"nnz={A.nnz}, backend={jax.default_backend()}")
+    else:
+        diags, offs = [], []
+        for off, scale in [(0, 4.5), (1, -1.0), (-1, -2.0), (40, -0.7),
+                           (-40, -0.4), (7, 0.5)]:
+            v = scale * (1.0 + 0.3 * rng.random(n - abs(off)))
+            diags.append(v)
+            offs.append(off)
+        S = sp.diags(diags, offs, format="csc")
+        A = CSCMatrix(n, n, S.indptr, S.indices, S.data)
+        log(f"lu bench: unsymmetric banded n={n}, nnz={A.nnz}, "
+            f"backend={jax.default_backend()}")
 
     # natural order keeps the band: filled-band supernodes pad far less
     # than AMD's scattered ones (waste 0.44 vs 0.92 measured at n=50k)
