@@ -94,3 +94,29 @@ def test_spmv_modes_agree(rng):
             assert np.abs(y - yref).max() / max(np.abs(yref).max(),
                                                 1e-30) < 1e-4, \
                 (name, mode)
+
+
+def test_superscan_variants_agree(rng, monkeypatch):
+    """All superscan scheduling variants (pair pipeline, aggregated
+    updg/upda, Pallas diag-block kernel) produce the same solutions as
+    the host engine across the fuzz families."""
+    from tpusparse.numeric import cholsol as host_cholsol
+    from tpusparse.device.superscan import SuperscanCholesky
+    for name, d, A in _families(rng):
+        n = A.n
+        bvec = rng.normal(size=n)
+        ok, xh = host_cholsol(1, A, bvec.copy())
+        assert ok, name
+        for env in ({}, {"TPUSPARSE_AGG": "1"},
+                    {"TPUSPARSE_PALLAS_CHOL": "1"},
+                    {"TPUSPARSE_AGG": "1",
+                     "TPUSPARSE_PALLAS_CHOL": "1"}):
+            for k in ("TPUSPARSE_AGG", "TPUSPARSE_PALLAS_CHOL"):
+                monkeypatch.delenv(k, raising=False)
+            for k, v in env.items():
+                monkeypatch.setenv(k, v)
+            F = SuperscanCholesky(A, order=1, wmax=16, tau=0.9,
+                                  small_w=4)
+            assert F.factor(), (name, env)
+            xd = F.solve(bvec)
+            assert np.allclose(xh, xd, atol=1e-8), (name, env)
