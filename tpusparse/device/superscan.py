@@ -1414,6 +1414,22 @@ class SuperscanCholesky:
             self._solve_sched = _solve_xs(self.plan)
         return self._solve_sched
 
+    def _sched_dev(self, si):
+        """Device-resident solve schedule for segment si, uploaded once
+        and cached — each refinement iteration re-runs the solve, and
+        re-uploading hundreds of MB of index arrays per call dominated
+        large-n solves on the relay."""
+        if getattr(self, "_sched_dev_cache", None) is None:
+            self._sched_dev_cache = {}
+        xs = self._sched_dev_cache.get(si)
+        if xs is None:
+            sched = self._sched()
+            xs = {k: {nm: jnp.asarray(a)
+                      for nm, a in sched[si][k].items()}
+                  for k in sorted(sched[si])}
+            self._sched_dev_cache[si] = xs
+        return xs
+
     def _run_solve(self, xpad: jnp.ndarray) -> jnp.ndarray:
         plan = self.plan
         sched = self._sched()
@@ -1421,7 +1437,6 @@ class SuperscanCholesky:
             order = (range(len(plan.segments)) if direction == "solvef"
                      else range(len(plan.segments) - 1, -1, -1))
             for si in order:
-                seg = plan.segments[si]
                 keys = tuple(sorted(sched[si]))
                 if not keys:
                     continue
@@ -1431,10 +1446,8 @@ class SuperscanCholesky:
                 if sig not in _JIT_CACHE:
                     _JIT_CACHE[sig] = jax.jit(_segment_solve(
                         keys, direction == "solveb"))
-                xs = {k: {nm: jnp.asarray(a)
-                          for nm, a in sched[si][k].items()}
-                      for k in keys}
-                xpad = _JIT_CACHE[sig](self.pools, xpad, xs)
+                xpad = _JIT_CACHE[sig](self.pools, xpad,
+                                       self._sched_dev(si))
         return xpad
 
     def _solve_f32(self, b: np.ndarray) -> np.ndarray:
@@ -1542,10 +1555,8 @@ class SuperscanCholesky:
                             _segment_solve(keys,
                                            direction == "solveb"),
                             in_axes=(None, 0, None)))
-                    xs = {k: {nm: jnp.asarray(a)
-                              for nm, a in sched[si][k].items()}
-                          for k in keys}
-                    xpads = _JIT_CACHE[sig](self.pools, xpads, xs)
+                    xpads = _JIT_CACHE[sig](self.pools, xpads,
+                                            self._sched_dev(si))
             return xpads
 
         def solve_f32_many(Bm):
