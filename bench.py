@@ -341,9 +341,20 @@ def main():
     if engine == "superscan":
         F.pools = out
         b = 1.0 + np.arange(n) / n
-        # host f64 trisolves on the downloaded device factor: zero extra
-        # device compiles (the device solve path is covered by tests)
-        x = F.solve_host(b)
+        pool_bytes = sum(v.nbytes for v in plan.pool_init.values())
+        if pool_bytes > int(os.environ.get(
+                "TPUSPARSE_BENCH_HOSTSOLVE_MAX", str(5 << 29))):
+            # the axon relay hung on a 4.4 GB chunked factor download
+            # (artifacts/bench_tpu_superscan_2359296.log); above ~2.5GB
+            # verify via the device-resident solve instead (extra solve
+            # compiles, no bulk download)
+            log(f"pools {pool_bytes>>20}MB — verifying via the "
+                "device-resident solve")
+            x = F.solve(b)
+        else:
+            # host f64 trisolves on the downloaded device factor: zero
+            # extra device compiles
+            x = F.solve_host(b)
     else:
         if engine == "supernodal":
             F.pools = out
