@@ -71,7 +71,7 @@ def main():
         f"padded={plan.flops_padded/1e9:.2f}G waste={plan.waste_ratio:.3f}")
 
     # timed R factor: re-run the cached per-segment programs
-    from tpusparse.device.superscan import _segment_factor
+    from tpusparse.device.superscan import _pools_sig, _segment_factor
     pool0 = {pw: jnp.asarray(v) for pw, v in plan.pool_init.items()}
     xs_dev = [
         {k: {nm: jnp.asarray(a) for nm, a in seg.xs[k].items()}
@@ -84,7 +84,8 @@ def main():
             if not seg.xs:
                 continue
             keys = tuple(sorted(seg.xs))
-            sig = ("factor", seg.scratch_rows) + tuple(
+            sig = ("factor", seg.scratch_rows,
+                   _pools_sig(pools)) + tuple(
                 (k,) + tuple(a.shape) for k in keys
                 for a in seg.xs[k].values())
             pools = _JIT_CACHE[sig](pools, xs_dev[si])
@@ -111,7 +112,10 @@ def main():
     nr = gaxpy(F.At, r, np.zeros(A.n))
     rel = np.abs(nr).max() / (norm1(F.AtA) * np.abs(x).max()
                               + np.abs(nr).max() + 1e-300)
-    log(f"LS solve {t_solve:.1f}s, normal-eq residual {rel:.2e}")
+    assert getattr(F.F, "_Lhost", None) is None, \
+        "solve downloaded the factor"
+    log(f"device-resident augmented LS solve {t_solve:.1f}s "
+        f"({F.last_info}), normal-eq residual {rel:.2e}")
 
     print(json.dumps({
         "metric": "sparse_qr_gflops",
@@ -127,6 +131,9 @@ def main():
         "flops_padded": plan.flops_padded,
         "waste_ratio": round(plan.waste_ratio, 4),
         "normal_eq_residual": float(f"{rel:.3e}"),
+        "solve_device_resident": True,
+        "t_solve_s": round(t_solve, 2),
+        "solve_info": F.last_info,
         "backend": jax.default_backend(),
     }))
 

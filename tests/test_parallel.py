@@ -179,3 +179,48 @@ def test_sharded_superscan_factor_aggregated(rng, monkeypatch):
     b = rng.normal(size=n)
     x = F.solve_host(b)
     assert resid(S.toarray(), x, b) < 1e-12
+
+
+def test_sharded_superscan_solve_matches_single_chip(rng):
+    """VERDICT r2 item 4: the device-resident solve sharded over the
+    mesh must match the single-chip solve bit-for-bit-ish and report
+    nonzero solve comm."""
+    import jax.numpy as jnp
+    from tpusparse.device.refine import refine
+    from tpusparse.device.superscan import SuperscanCholesky
+    from tpusparse.parallel import (sharded_superscan_factor,
+                                    sharded_superscan_solve,
+                                    superscan_comm_metrics)
+    mesh = make_mesh(4)
+    n = 240
+    A, S = random_spd(rng, n, density=0.06)
+    F = SuperscanCholesky(A, order=1, wmax=8, tau=0.9, small_w=4)
+    factor = sharded_superscan_factor(F.plan, mesh)
+    F.pools = factor({pw: jnp.asarray(v)
+                      for pw, v in F.plan.pool_init.items()})
+    b = rng.normal(size=n)
+    x_single = F._solve_f32(b)
+    solve_f32 = sharded_superscan_solve(F, mesh)
+    x_sharded = solve_f32(b)
+    assert np.allclose(x_single, x_sharded, rtol=1e-5, atol=1e-6)
+    x_ref = refine(A, solve_f32, b)
+    assert resid(S.toarray(), x_ref, b) < 1e-12
+    cm = superscan_comm_metrics(F.plan, 4)
+    assert cm["comm_bytes_solve"] > 0
+    assert cm["comm_bytes_factor"] > 0
+    assert cm["comm_bytes_total"] == (cm["comm_bytes_factor"]
+                                      + cm["comm_bytes_solve"])
+
+
+def test_graft_dryrun_contract():
+    """The driver's multichip dryrun must keep passing (tight refined
+    asserts + nonzero comm).  Run in a SUBPROCESS exactly like the
+    driver does — the dryrun's mesh programs in-process destabilize
+    later XLA:CPU compiles (observed segfault in full-suite runs)."""
+    import subprocess
+    import sys
+    out = subprocess.run(
+        [sys.executable, __file__.rsplit("/", 2)[0] + "/__graft_entry__.py"],
+        capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "dryrun_multichip(8): ok" in out.stdout

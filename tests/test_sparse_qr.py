@@ -7,7 +7,7 @@ import os
 import numpy as np
 import pytest
 
-from tpusparse.core import csc_from_dense
+from tpusparse.core import CSCMatrix, csc_from_dense
 from tpusparse.device.qr_tpu import SparseQR
 
 
@@ -81,3 +81,81 @@ def test_rank_deficient_flagged(rng):
     assert not F.rank_ok
     with pytest.raises(ValueError):
         F.solve_ls(np.ones(40))
+
+
+# ---------------------------------------------------------------- round 3
+def _ill_conditioned_ls(m, n, cond, seed=1):
+    """Tall sparse LS with controlled kappa(A) ~ cond via geometric
+    column scaling (VERDICT r2 item 5's test shape)."""
+    import scipy.sparse as sp
+    S = sp.random(m, n, density=0.02,
+                  random_state=np.random.RandomState(seed), format="csc")
+    S = S + sp.vstack([sp.eye(n), sp.csr_matrix((m - n, n))]).tocsc()
+    S = (S @ sp.diags(np.logspace(0, -np.log10(cond), n))).tocsc()
+    S.sort_indices()
+    return CSCMatrix(m, n, S.indptr, S.indices, S.data), S
+
+
+def test_augmented_refinement_cond_1e4(rng):
+    """cond(A) ~ 1e4: naive CSNE at f32 squares to 1e8 (~1/eps_f32,
+    unsafe); augmented-system refinement reaches reference grade."""
+    A, S = _ill_conditioned_ls(600, 240, 1e4)
+    x_true = rng.normal(size=240)
+    b = S @ x_true + 1e-3 * rng.normal(size=600)
+    F = SparseQR(A, wmax=16)
+    assert F.rank_ok
+    x = F.solve_ls(b)
+    assert F.last_info["ne_resid"] < 1e-13       # normal-eq residual
+    assert F.last_info["aug_resid"] < 1e-13      # augmented residual
+    xd = np.linalg.lstsq(S.toarray(), b, rcond=None)[0]
+    assert np.linalg.norm(x - xd) / np.linalg.norm(xd) < 1e-7
+
+
+def test_device_resident_qr_solves(rng):
+    A, S = _ill_conditioned_ls(300, 120, 10)
+    b = rng.normal(size=300)
+    F = SparseQR(A, wmax=16)
+    F.solve_ls(b)
+    # the underlying chol engine never extracted its factor to host
+    assert getattr(F.F, "_Lhost", None) is None
+
+
+def test_cond_estimate_order_of_magnitude(rng):
+    for cond in (1e2, 1e5):
+        A, S = _ill_conditioned_ls(400, 150, cond, seed=2)
+        F = SparseQR(A, wmax=16)
+        est = F.cond_estimate()
+        true = np.linalg.cond(S.toarray())
+        assert true / 30 < est < true * 30
+
+
+def test_qrsol_cond_gate_falls_back_to_host(rng, monkeypatch):
+    """Conditioning beyond the gate routes to the host Householder
+    engine and still solves correctly."""
+    import os
+    from tpusparse.device.solvers import qrsol
+    A, S = _ill_conditioned_ls(260, 100, 1e4, seed=3)
+    b = rng.normal(size=260)
+    monkeypatch.setenv("TPUSPARSE_QR_DENSE_MAX", "100")   # force sparse
+    monkeypatch.setenv("TPUSPARSE_QR_COND_MAX", "100")    # force gate
+    ok, x = qrsol(3, A, b)
+    assert ok
+    xd = np.linalg.lstsq(S.toarray(), b, rcond=None)[0]
+    assert np.linalg.norm(x - xd) / np.linalg.norm(xd) < 1e-7
+
+
+def test_minnorm_augmented(rng):
+    import scipy.sparse as sp
+    m, n = 80, 200
+    S = sp.random(m, n, density=0.06,
+                  random_state=np.random.RandomState(4), format="csc")
+    S = S + sp.hstack([sp.eye(m), sp.csr_matrix((m, n - m))]).tocsc()
+    S = S.tocsc(); S.sort_indices()
+    St = S.T.tocsc()
+    At = CSCMatrix(n, m, St.indptr, St.indices, St.data)
+    F = SparseQR(At, wmax=16)
+    b = rng.normal(size=m)
+    x = F.solve_minnorm(b)
+    assert np.abs(S @ x - b).max() < 1e-10
+    xd = np.linalg.lstsq(S.toarray(), b, rcond=None)[0]
+    assert np.linalg.norm(x) < np.linalg.norm(xd) * (1 + 1e-8)

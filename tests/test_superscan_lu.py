@@ -115,3 +115,122 @@ def test_metrics(rng):
     m = F.metrics().values
     assert m["lu_engine"] == "superscan_lu"
     assert m["lu_flops_true"] > 0 and m["lu_segments"] >= 1
+
+
+# ---------------------------------------------------------------- round 3
+def _convdiff(g, weak_cols=()):
+    """Unsymmetric 2D convection-diffusion; ``weak_cols`` get a ~zero
+    diagonal (the west0479-class shape that kills static pivoting)."""
+    import scipy.sparse as sp
+    n = g * g
+    main = 4.0 * np.ones(n)
+    ex_lo = np.full(n - 1, -1.6)
+    ex_lo[np.arange(1, n) % g == 0] = 0
+    ex_hi = np.full(n - 1, -0.4)
+    ex_hi[np.arange(1, n) % g == 0] = 0
+    ey = -np.ones(n - g)
+    A = sp.diags([main, ex_hi, ex_lo, ey, ey], [0, 1, -1, g, -g],
+                 format="csc").tolil()
+    for i in weak_cols:
+        A[i, i] = 1e-12
+    A = A.tocsc()
+    A.sort_indices()
+    return CSCMatrix(n, n, A.indptr, A.indices, A.data), A
+
+
+def test_device_resident_solve_never_downloads(rng):
+    """VERDICT r2 item 1: solves run against the device pools; the
+    host-extract cache must stay cold."""
+    M, S = _convdiff(16)
+    n = M.n
+    F = SuperscanLU(M, order=1, wmax=32)
+    assert F.factor()
+    b = 1.0 + np.arange(n) / n
+    x = F.solve(b)
+    assert F._LU_host is None              # factor never extracted
+    assert resid(S.toarray(), x, b) < 1e-13
+
+
+def test_device_solve_matches_host_extract(rng):
+    M, S = _convdiff(12)
+    n = M.n
+    F = SuperscanLU(M, order=1, wmax=16)
+    assert F.factor()
+    b = rng.normal(size=n)
+    x_dev = F._solve_f32(b)
+    x_host = F._solve_f32_host(b)
+    assert np.allclose(x_dev, x_host, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("weak", [[100], [100, 101], [50, 200, 350]])
+def test_within_panel_pivoting_rescues_weak_diagonal(weak):
+    """VERDICT r2 item 2: static pivoting (tol=0) diverges on weak
+    diagonals; within-panel threshold pivoting (tol=1) solves to
+    reference grade.  Matching disabled to isolate the pivoting."""
+    M, S = _convdiff(24, weak)
+    n = M.n
+    b = 1.0 + np.arange(n) / n
+    d = S.toarray()
+    F0 = SuperscanLU(M, order=1, wmax=32, tol=0.0, match=False)
+    assert F0.factor()
+    r0 = resid(d, F0.solve(b), b)
+    F1 = SuperscanLU(M, order=1, wmax=32, tol=1.0, match=False)
+    assert F1.factor()
+    r1 = resid(d, F1.solve(b), b)
+    assert r1 < 1e-12
+    assert r0 > 1e3 * r1                   # static pivot genuinely fails
+
+
+def test_pivoted_factorization_product(rng):
+    """P_panel * C = L U on the extracted factor (pivoted coords)."""
+    from tpusparse.core.ops import permute
+    from tpusparse.core.perm import pinv as _pinv
+    # natural order + weak leading columns: eliminated first with no
+    # prior updates, so pivoting provably engages
+    M, S = _convdiff(8, [0, 1])
+    n = M.n
+    F = SuperscanLU(M, order=0, wmax=8, tol=1.0, match=False)
+    assert F.factor()
+    L, U, pglob = F.extract_LU()
+    C = permute(F._B, _pinv(F.plan.perm), F.plan.perm, values=True)
+    Cd = np.zeros((n, n))
+    for j in range(n):
+        Cd[C.indices[C.indptr[j]:C.indptr[j + 1]], j] = \
+            C.data[C.indptr[j]:C.indptr[j + 1]]
+    Ld = np.zeros((n, n))
+    Ud = np.zeros((n, n))
+    for j in range(n):
+        Ld[L.indices[L.indptr[j]:L.indptr[j + 1]], j] = \
+            L.data[L.indptr[j]:L.indptr[j + 1]]
+        Ud[U.indices[U.indptr[j]:U.indptr[j + 1]], j] = \
+            U.data[U.indptr[j]:U.indptr[j + 1]]
+    assert np.abs(np.triu(Ld, 1)).max() == 0     # truly triangular
+    assert np.abs(np.tril(Ud, -1)).max() == 0
+    assert (pglob != np.arange(n)).sum() > 0     # pivoting happened
+    assert np.abs(Cd[pglob] - Ld @ Ud).max() < 1e-4
+
+
+def test_lu_panel_kernel_vs_dense():
+    import jax.numpy as jnp
+    from tpusparse.device.superscan_lu import _lu_panel
+    rng2 = np.random.default_rng(3)
+    D = rng2.normal(size=(4, 16, 16)).astype(np.float32)
+    D[:, 0, 0] = 1e-9
+    F, P = _lu_panel(jnp.asarray(D), jnp.float32(1e-20), 1.0)
+    F, P = np.asarray(F), np.asarray(P)
+    for u in range(4):
+        L = np.tril(F[u], -1) + np.eye(16)
+        U = np.triu(F[u])
+        assert np.abs(P[u] @ D[u] - L @ U).max() < 1e-4
+        assert (P[u].sum(0) == 1).all() and (P[u].sum(1) == 1).all()
+
+
+def test_solve_many_consistent(rng):
+    # two sequential solves on one factor (factor-once/solve-many)
+    M, S = _convdiff(10)
+    n = M.n
+    F = SuperscanLU(M, order=1, wmax=16)
+    assert F.factor()
+    for seed in (0, 1):
+        b = np.random.default_rng(seed).normal(size=n)
+        assert resid(S.toarray(), F.solve(b), b) < 1e-13

@@ -56,10 +56,12 @@ class TpuLU:
     """
 
     def __init__(self, A: CSCMatrix, order: int = 2, bs: int = 16,
-                 seed: int = 1, sparse_min: int = None):
+                 seed: int = 1, sparse_min: int = None,
+                 tol: float = 1.0):
         if A.m != A.n:
             raise ValueError("square matrix required")
         import os
+        self.tol = float(tol)
         if sparse_min is None:
             sparse_min = int(os.environ.get("TPUSPARSE_LU_SPARSE_MIN",
                                             "2048"))
@@ -105,7 +107,7 @@ class TpuLU:
                 # no densification (superscan_lu docstring)
                 from .superscan_lu import SuperscanLU
                 sub = self._extract_block(lo, lo + size)
-                F = SuperscanLU(sub, order=1)
+                F = SuperscanLU(sub, order=1, tol=self.tol)
                 if not F.factor():
                     ok = False
                 blk.sparse = F

@@ -86,12 +86,13 @@ def cholsol(order: int, A: CSCMatrix, b: np.ndarray, engine: str = None):
 
 def lusol(order: int, A: CSCMatrix, b: np.ndarray, tol: float = 1.0):
     """Square solve on device via BTF + blocked LU (reference: cs_lusol).
-    ``tol`` is accepted for signature parity; in-block pivoting is always
-    full partial pivoting (stronger than the reference's threshold)."""
+    ``tol`` follows the reference's threshold-pivoting semantics on the
+    sparse superscan blocks (within-panel, superscan_lu); dense blocks
+    always use full in-block partial pivoting (stronger)."""
     if A.m != A.n or A.m != len(b):
         return False, None
     try:
-        F = TpuLU(A, order=order)
+        F = TpuLU(A, order=order, tol=tol)
     except (ValueError, IndexError, KeyError, TypeError,
             MemoryError, RuntimeError) as exc:
         _log_fallback("lu", exc, "ok=False")
@@ -120,12 +121,22 @@ def qrsol(order: int, A: CSCMatrix, b: np.ndarray):
     dense_max = int(os.environ.get("TPUSPARSE_QR_DENSE_MAX",
                                    str(1 << 22)))
     sparse = m * n > dense_max
+    cond_max = float(os.environ.get("TPUSPARSE_QR_COND_MAX", "1e6"))
     try:
         if m >= n:
             if sparse:
                 F = SparseQR(A, order=order)
                 if not F.rank_ok:
                     return False, None
+                if F.cond_estimate() > cond_max:
+                    # Q-less CSNE at f32 is unsafe at this conditioning
+                    # (augmented refinement stalls beyond ~1/eps_f32):
+                    # fall back to the host sparse Householder engine,
+                    # which keeps the reference's exact cs_qr semantics
+                    from ..numeric.solvers import qrsol as host_qrsol
+                    log.warning("SparseQR cond estimate > %g — using "
+                                "the host Householder engine", cond_max)
+                    return host_qrsol(order, A, b.copy())
                 return True, F.solve_ls(b)
             F = TpuQR(A, order=order)
             if not F.rank_ok:
@@ -138,6 +149,11 @@ def qrsol(order: int, A: CSCMatrix, b: np.ndarray):
                 F = SparseQR(AT, order=order)
                 if not F.rank_ok:
                     return False, None
+                if F.cond_estimate() > cond_max:
+                    from ..numeric.solvers import qrsol as host_qrsol
+                    log.warning("SparseQR cond estimate > %g — using "
+                                "the host Householder engine", cond_max)
+                    return host_qrsol(order, A, b.copy())
                 return True, F.solve_minnorm(b)
             F = TpuQR(AT, order=order)
             if not F.rank_ok:

@@ -350,12 +350,93 @@ def _build_sell(A: CSCMatrix, max_s: int = None, max_tw: int = 4):
                 bytes_padded=bytes_padded)
 
 
+def _build_seg(A: CSCMatrix, cap: int = 32):
+    """Segmented-sum SpMV for POWER-LAW row-degree distributions
+    (VERDICT r2 item 6): the SELL packing sizes every block's slab by
+    its max row sub-steps, so one hub row inflates the whole block (or
+    overflows to the latency-dominated COO spill).  Here rows are SPLIT
+    into virtual rows of <= ``cap`` entries, each virtual row lands in
+    the power-of-two width class of its true length (4/8/16/32 —
+    bounded ELL padding per class), the per-class slabs run the plain
+    gather+fma ELL kernel, and one scatter-add segment-reduces the
+    virtual partial sums into y.  Spill is ZERO by construction; padded
+    bytes are bounded by 2x nnz regardless of the tail."""
+    m, n = A.m, A.n
+    if A.nnz == 0:
+        return None
+    cols_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
+    rows_e, cols_e, vals_e = A.indices, cols_of, A.data
+    order = np.argsort(rows_e, kind="stable")
+    rows_e, cols_e, vals_e = (rows_e[order], cols_e[order],
+                              vals_e[order])
+    deg = np.bincount(rows_e, minlength=m)
+    # virtual rows: ceil(deg/cap) chunks per row
+    nck = -(-deg // cap)
+    nck0 = np.maximum(nck, 0)
+    V = int(nck0.sum())
+    v_row = np.repeat(np.arange(m, dtype=np.int64), nck0)
+    starts = np.cumsum(deg) - deg
+    v_idx = np.arange(V, dtype=np.int64)
+    v_first = np.zeros(V, np.int64)
+    if V:
+        rstart = np.cumsum(nck0) - nck0
+        v_first = starts[v_row] + (v_idx - rstart[v_row]) * cap
+    v_len = np.minimum(deg[v_row] - (v_first - starts[v_row]), cap)
+    # class = pow2 ceil of the virtual length, min 4
+    cls = np.maximum(1 << np.ceil(np.log2(np.maximum(v_len, 1))
+                                  ).astype(np.int64), 4)
+    cls = np.minimum(cls, cap)
+    classes = sorted(set(cls.tolist()))
+    slabs = []
+    slots = 0
+    for c in classes:
+        sel = np.where(cls == c)[0]
+        Vc = sel.size
+        vals_s = np.zeros((Vc, c), np.float32)
+        cols_s = np.zeros((Vc, c), np.int32)
+        ii = np.repeat(np.arange(Vc, dtype=np.int64), v_len[sel])
+        jj = np.concatenate([np.arange(L) for L in v_len[sel]]) \
+            if Vc else np.zeros(0, np.int64)
+        epos = np.repeat(v_first[sel], v_len[sel]) + jj
+        vals_s[ii, jj] = vals_e[epos]
+        cols_s[ii, jj] = cols_e[epos]
+        slabs.append((jnp.asarray(vals_s), jnp.asarray(cols_s),
+                      jnp.asarray(v_row[sel].astype(np.int32))))
+        slots += Vc * c
+
+    def apply_fn(*bufs_and_x):
+        *flat, x = bufs_and_x
+        y = jnp.zeros(m, DTYPE)
+        for ci in range(len(slabs)):
+            vals_d, cols_d, rid = flat[3 * ci:3 * ci + 3]
+            part = jnp.sum(vals_d * x[cols_d], axis=1)
+            y = y.at[rid].add(part)
+        return y
+
+    flat = [b for slab in slabs for b in slab]
+    return dict(apply=jax.jit(apply_fn), bufs=tuple(flat),
+                slots=slots, nnz=int(A.nnz),
+                bytes_padded=slots * 8 + (m + n) * 4)
+
+
+def _heavy_tail(A: CSCMatrix) -> bool:
+    """Degree-distribution probe at plan time: a power-law tail makes
+    both ELL (K = max degree) and SELL (max-substep slabs / COO spill)
+    pay for the hubs; the segmented path caps padding per class."""
+    if A.nnz == 0 or A.m == 0:
+        return False
+    deg = np.bincount(A.indices, minlength=A.m)
+    med = max(float(np.median(deg[deg > 0])), 1.0)
+    return float(deg.max()) >= 8.0 * med
+
+
 def spmv_plan(A: CSCMatrix, mode: str = "auto") -> SpmvPlan:
     """Plan a device SpMV for the pattern of A.
 
     mode: 'ell' (XLA gather path), 'bell' (Pallas MXU tile path),
     'dia' (gather-free banded), 'sell' (RCM + windowed-gather Pallas,
-    the general-pattern path), or 'auto'.
+    the general-pattern path), 'seg' (row-split segmented-sum for
+    power-law degree tails), or 'auto'.
     """
     if mode == "auto":
         mode = "ell"
@@ -374,9 +455,24 @@ def spmv_plan(A: CSCMatrix, mode: str = "auto") -> SpmvPlan:
             occ = A.nnz / max(ntiles * 128 * 128, 1)
             if occ > 0.25:
                 mode = "bell"
-        if (mode == "ell" and _HAS_PALLAS and A.m == A.n
+        if mode == "ell" and A.nnz > 0 and _heavy_tail(A):
+            mode = "seg"           # power-law degree tail
+        elif (mode == "ell" and _HAS_PALLAS and A.m == A.n
                 and A.nnz > 0 and A.nnz / A.n <= 32):
             mode = "sell"          # general irregular pattern
+    if mode == "seg":
+        plan = _build_seg(A)
+        if plan is None:
+            mode = "ell"
+        else:
+            nnz = A.nnz
+            return SpmvPlan(
+                m=A.m, n=A.n, mode="seg", flops=2 * nnz,
+                bytes_min=nnz * 8 + (A.m + A.n) * 4,
+                bytes_padded=plan["bytes_padded"],
+                waste_ratio=1.0 - nnz / max(plan["slots"], 1),
+                spill=0,
+                _apply=plan["apply"], _bufs=plan["bufs"])
     if mode == "sell":
         plan = _build_sell(A)
         if plan is None:

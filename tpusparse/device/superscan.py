@@ -1120,6 +1120,7 @@ def _segment_factor(seg_keys: Tuple, shard_fn=None,
     instead of jnp.linalg.cholesky — same NaN failure contract."""
     has_agg = scratch_rows > 0
     use_pallas_chol = bool(os.environ.get("TPUSPARSE_PALLAS_CHOL"))
+    use_pallas_trsm = bool(os.environ.get("TPUSPARSE_PALLAS_TRSM"))
 
     def run(pools: Dict[int, jnp.ndarray], xs: Dict):
         def body(carry, x):
@@ -1228,8 +1229,13 @@ def _segment_factor(seg_keys: Tuple, shard_fn=None,
                 sl = jax.lax.slice_in_dim(pools[pw], 0, W, axis=1)
                 Lkk = sl[didx]                               # (U, W, W)
                 X = sl[rows]                                 # (U, H, W)
-                Y = jax.lax.linalg.triangular_solve(
-                    Lkk, X, left_side=False, lower=True, transpose_a=True)
+                if use_pallas_trsm:
+                    from .kernels.trsm_tile import trsm_tiles_batched
+                    Y = trsm_tiles_batched(Lkk, X)
+                else:
+                    Y = jax.lax.linalg.triangular_solve(
+                        Lkk, X, left_side=False, lower=True,
+                        transpose_a=True)
                 if W < pools[pw].shape[1]:
                     Y = jnp.pad(
                         Y, ((0, 0), (0, 0),
@@ -1248,19 +1254,34 @@ def _segment_factor(seg_keys: Tuple, shard_fn=None,
     return run
 
 
+def _pools_sig(pools) -> Tuple:
+    """Pool shapes AND shardings as part of every cached-program
+    signature: AOT Compiled executables are shape- and sharding-exact
+    (a jit would silently re-trace / reshard; the compiled form
+    raises)."""
+    def one(v):
+        sh = getattr(v, "sharding", None)
+        return (tuple(v.shape), repr(sh) if sh is not None else "")
+
+    return tuple(sorted((k, one(v)) for k, v in pools.items()))
+
+
 def _factor(plan: SuperscanPlan, pools):
+    from .compilepool import compile_many
+    jobs = []
     for seg in plan.segments:
         if not seg.xs:
             continue
         keys = tuple(sorted(seg.xs))
-        sig = ("factor", seg.scratch_rows) + tuple(
+        sig = ("factor", seg.scratch_rows, _pools_sig(pools)) + tuple(
             (k,) + tuple(a.shape) for k in keys
             for a in seg.xs[k].values())
-        if sig not in _JIT_CACHE:
-            _JIT_CACHE[sig] = jax.jit(_segment_factor(
-                keys, scratch_rows=seg.scratch_rows))
         xs = {k: {nm: jnp.asarray(a) for nm, a in seg.xs[k].items()}
               for k in keys}
+        jobs.append((sig, _segment_factor(
+            keys, scratch_rows=seg.scratch_rows), (pools, xs)))
+    compile_many(_JIT_CACHE, jobs)
+    for sig, _fn, (_p0, xs) in jobs:
         pools = _JIT_CACHE[sig](pools, xs)
     return pools
 
@@ -1348,10 +1369,12 @@ def _solve_xs(plan: SuperscanPlan):
     return out
 
 
-def _segment_solve(seg_keys: Tuple, backward: bool) -> callable:
+def _segment_solve(seg_keys: Tuple, backward: bool,
+                   shard_fn=None) -> callable:
+    """``shard_fn`` (optional) is applied to the gathered per-step trsm
+    row batches (axis 0 = slots) so GSPMD splits the od-GEMMs over the
+    mesh and all-reduces the xpad scatter-adds (parallel.sharded)."""
     def run(pools, xpad, xs):
-        dump = None
-
         def body(xpad, x):
             nn = xpad.shape[0] - 1
             if not backward:
@@ -1376,6 +1399,8 @@ def _segment_solve(seg_keys: Tuple, backward: bool) -> callable:
                     sl = jax.lax.slice_in_dim(pools[pw], 0, W, axis=1)
                     mask = a["tgt"] < nn
                     Y = jnp.where(mask[..., None], sl[a["rows"]], 0.0)
+                    if shard_fn is not None:
+                        Y = shard_fn(Y)
                     xc = xpad[a["cols"]]                     # (U,W)
                     delta = jnp.einsum("uhw,uw->uh", Y, xc,
                                        precision=HIGHEST)
@@ -1390,6 +1415,8 @@ def _segment_solve(seg_keys: Tuple, backward: bool) -> callable:
                     sl = jax.lax.slice_in_dim(pools[pw], 0, W, axis=1)
                     mask = a["tgt"] < nn
                     Y = jnp.where(mask[..., None], sl[a["rows"]], 0.0)
+                    if shard_fn is not None:
+                        Y = shard_fn(Y)
                     xod = jnp.where(mask, xpad[a["tgt"]], 0.0)
                     delta = jnp.einsum("uhw,uh->uw", Y, xod,
                                        precision=HIGHEST)
@@ -1463,8 +1490,23 @@ class SuperscanCholesky:
         return xs
 
     def _run_solve(self, xpad: jnp.ndarray) -> jnp.ndarray:
+        from .compilepool import compile_many
         plan = self.plan
         sched = self._sched()
+        jobs = []
+        for direction in ("solvef", "solveb"):
+            for si in range(len(plan.segments)):
+                keys = tuple(sorted(sched[si]))
+                if not keys:
+                    continue
+                sig = (direction, _pools_sig(self.pools),
+                       xpad.shape) + tuple(
+                    (k,) + tuple(a.shape) for k in keys
+                    for a in sched[si][k].values())
+                jobs.append((sig, _segment_solve(
+                    keys, direction == "solveb"),
+                    (self.pools, xpad, self._sched_dev(si))))
+        compile_many(_JIT_CACHE, jobs)
         for direction in ("solvef", "solveb"):
             order = (range(len(plan.segments)) if direction == "solvef"
                      else range(len(plan.segments) - 1, -1, -1))
@@ -1472,12 +1514,10 @@ class SuperscanCholesky:
                 keys = tuple(sorted(sched[si]))
                 if not keys:
                     continue
-                sig = (direction,) + tuple(
+                sig = (direction, _pools_sig(self.pools),
+                       xpad.shape) + tuple(
                     (k,) + tuple(a.shape) for k in keys
                     for a in sched[si][k].values())
-                if sig not in _JIT_CACHE:
-                    _JIT_CACHE[sig] = jax.jit(_segment_solve(
-                        keys, direction == "solveb"))
                 xpad = _JIT_CACHE[sig](self.pools, xpad,
                                        self._sched_dev(si))
         return xpad

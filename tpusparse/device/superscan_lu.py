@@ -3,16 +3,25 @@ blocks factor WITHOUT densifying (VERDICT r1 item 3; reference:
 csparse::cs_lu, SURVEY.md §3.2 / §7.1 stage 4).
 
 TPU-first pivoting strategy (the static-shape answer to cs_lu's dynamic
-row exchanges, SURVEY.md §7.4(1)): STATIC pivoting a la SuperLU_DIST —
-factor on the Cholesky fill pattern of the symmetrized pattern
-pat(A + A' + I) with NO row exchanges, replacing tiny diagonal pivots by
-+-eps*||A||_max (recorded), and recover accuracy with host-f64 iterative
-refinement.  This is the production approach for distributed-memory LU
-for exactly the reason it fits XLA: dynamic pivoting cannot be compiled
-into a static schedule.  The host engine (tpusparse.numeric.lu) keeps
-the reference's full threshold partial pivoting for parity; the BTF
-driver (device.lu_tpu) uses dense in-block partial pivoting below the
-size threshold and this engine above it.
+row exchanges, SURVEY.md §7.4(1)): WITHIN-PANEL threshold partial
+pivoting (VERDICT r2 item 2).  The W x W diagonal block of each panel is
+factored with row pivoting restricted to the block (the north-star
+sanctioned restriction): pivot row = argmax |column| among block rows,
+with the reference's ``tol`` semantics — the diagonal entry is preferred
+when |d| >= tol * max (cs_lu.c threshold partial pivoting; demo2 uses
+tol=0.001 for symmetric problems, 1.0 otherwise).  Rows outside the
+diagonal block are not pivot candidates; residual tiny pivots are
+perturbed by +-eps*||A||_max (SuperLU_DIST-style, recorded) and healed
+by host-f64 iterative refinement.  ``tol=0.0`` degenerates to the pure
+static-pivot mode (always prefer the diagonal).
+
+The per-panel permutation is DATA: the panel-LU phase stores the one-hot
+pivot matrix P in the (otherwise unused) diagonal-block slot of the U
+pool, so the same compiled program serves every pivot outcome.  Only the
+panel's own rows permute, and every descendant update lands BEFORE the
+panel factors (EDF deadlines), so no already-written entry ever moves —
+L stays "psychologically triangular" exactly like cs_lu's pinv
+bookkeeping, with the relabeling confined to each panel.
 
 Structure: with a symmetric pattern, U's row pattern mirrors L's column
 pattern, so L column-panels and U row-panels live in MIRRORED pools with
@@ -22,16 +31,24 @@ lu_extras=True) drives both sides:
   update (d -> s):  delta_L = L1 @ U0^T   into  Lpool[tgt]
                     delta_U = U1 @ L0^T   into  Upool[tgtu]   (tgtu masks
                     the diagonal block, which delta_L already covers)
-  panel:            packed no-pivot LU of the WxW diagonal block
-                    (recursive blocked, batched),
-  trsm:             L od rows <- X U_D^{-1};   U od rows <- X L_D^{-T}.
+  panel:            batched within-block threshold-pivoted LU of the
+                    WxW diagonal block -> packed L\\U into Lpool,
+                    one-hot P into Upool's diag slot,
+  trsm:             L od rows <- X U_D^{-1};
+                    U od rows <- (X P^T) L_D^{-T}.
 
-Solves run on host f64 against the extracted L/U (the BTF driver's
-coupling is host-side anyway), wrapped in iterative refinement.
+Solves are DEVICE-RESIDENT (VERDICT r2 item 1): the factor-once/
+solve-many contract of csparse::cs_lusol runs against the pools on
+device, reusing the chol engine's solve schedule (superscan._solve_xs)
+— forward = P-gather + unit-lower diag solve on the L pool + od-axpy;
+backward = od-axpy from the U pool + upper diag solve on the packed
+L\\U.  The factor is never downloaded; extract_LU remains as the
+checkpoint/debug path.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Tuple
 
 import jax
@@ -42,58 +59,69 @@ from ..core.matrix import CSCMatrix
 from ..core.ops import add, permute, transpose
 from ..core.perm import ipvec, pvec, pinv as _pinv
 from .config import HIGHEST
-from .superscan import plan_superscan, _IDX
+from .superscan import plan_superscan, _pools_sig, _solve_xs, _IDX
 
 __all__ = ["SuperscanLU"]
 
 
 # ------------------------------------------------------------- dense kernel
-def _lu_nopiv(D: jnp.ndarray, eps: jnp.ndarray) -> jnp.ndarray:
-    """Batched packed no-pivot LU of (..., m, m) with tiny-pivot
-    perturbation: pivots with |d| < eps are replaced by sign(d)*eps
-    (SuperLU_DIST's s_pivotGrowth trick).  Returns L\\U packed (unit
-    diagonal of L implied)."""
+def _lu_panel(D: jnp.ndarray, eps: jnp.ndarray,
+              tol: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched packed LU of (..., m, m) with WITHIN-BLOCK threshold
+    partial pivoting: at step k the pivot row is argmax |D[k:, k]|
+    unless |D[k, k]| >= tol * max (cs_lu.c's ``tol`` preference for the
+    diagonal); pivots with |d| < eps are replaced by sign(d)*eps
+    (SuperLU_DIST's perturbation for the residual static-pivot cases).
+    Returns (F, P): F = L\\U packed (unit diagonal of L implied) with
+    P @ D = L @ U, and P the one-hot permutation (P[i, p_i] = 1).
+    ``tol=0.0`` always prefers the diagonal -> identity P (pure static
+    pivoting)."""
     m = D.shape[-1]
-    if m <= 8:
-        r = jnp.arange(m)
-        for k in range(m):
-            d = D[..., k, k]
-            d = jnp.where(jnp.abs(d) < eps,
-                          jnp.where(d < 0, -eps, eps), d)
-            D = D.at[..., k, k].set(d)
-            lcol = jnp.where(r > k, D[..., :, k] / d[..., None], 0.0)
-            D = D.at[..., :, k].set(
-                jnp.where(r > k, lcol, D[..., :, k]))
-            urow = jnp.where(r > k, D[..., k, :], 0.0)
-            # rank-1 update touches only rows > k (lcol zeroed) and
-            # cols > k (urow zeroed)
-            D = D - lcol[..., :, None] * urow[..., None, :]
-        return D
-    h = m // 2
-    A11 = D[..., :h, :h]
-    A12 = D[..., :h, h:]
-    A21 = D[..., h:, :h]
-    A22 = D[..., h:, h:]
-    F11 = _lu_nopiv(A11, eps)
-    U12 = jax.lax.linalg.triangular_solve(
-        F11, A12, left_side=True, lower=True, unit_diagonal=True)
-    L21 = jax.lax.linalg.triangular_solve(
-        F11, A21, left_side=False, lower=False)
-    S = A22 - jnp.einsum("...ik,...kj->...ij", L21, U12,
-                         precision=HIGHEST)
-    F22 = _lu_nopiv(S, eps)
-    top = jnp.concatenate([F11, U12], axis=-1)
-    bot = jnp.concatenate([L21, F22], axis=-1)
-    return jnp.concatenate([top, bot], axis=-2)
+    batch = D.shape[:-2]
+    r = jnp.arange(m)
+    perm0 = jnp.broadcast_to(r, batch + (m,)).astype(jnp.int32)
+
+    def body(k, carry):
+        D, perm = carry
+        col = jnp.abs(D[..., :, k])
+        colm = jnp.where(r >= k, col, -1.0)
+        j = jnp.argmax(colm, axis=-1)                    # (...,)
+        maxv = jnp.max(colm, axis=-1)
+        dk = jnp.abs(D[..., k, k])
+        j = jnp.where(dk >= tol * maxv, k, j).astype(jnp.int32)
+        # swap rows k <-> j (row gather by a computed index vector)
+        idx = jnp.broadcast_to(r, batch + (m,))
+        swap = jnp.where(idx == k, j[..., None],
+                         jnp.where(idx == j[..., None], k, idx))
+        D = jnp.take_along_axis(D, swap[..., None], axis=-2)
+        perm = jnp.take_along_axis(perm, swap, axis=-1)
+        d = D[..., k, k]
+        d = jnp.where(jnp.abs(d) < eps,
+                      jnp.where(d < 0, -eps, eps), d)
+        D = D.at[..., k, k].set(d)
+        lcol = jnp.where(r > k, D[..., :, k] / d[..., None], 0.0)
+        D = D.at[..., :, k].set(
+            jnp.where(r > k, lcol, D[..., :, k]))
+        urow = jnp.where(r > k, D[..., k, :], 0.0)
+        # rank-1 update touches only rows > k (lcol zeroed) and
+        # cols > k (urow zeroed)
+        D = D - lcol[..., :, None] * urow[..., None, :]
+        return D, perm
+
+    D, perm = jax.lax.fori_loop(0, m, body, (D, perm0))
+    Pmat = (perm[..., :, None] == r).astype(D.dtype)
+    return D, Pmat
 
 
 # ------------------------------------------------------------------ device
 _JIT_CACHE: Dict = {}
 
 
-def _segment_factor_lu(seg_keys: Tuple) -> callable:
+def _segment_factor_lu(seg_keys: Tuple, tol: float,
+                       shard_fn=None) -> callable:
     """LU variant of superscan._segment_factor: two pools (L, U) driven
-    by one schedule; ``eps`` is the pivot-perturbation threshold."""
+    by one schedule; ``eps`` is the pivot-perturbation threshold and
+    ``tol`` the within-block threshold-pivoting preference (static)."""
 
     def run(pools: Dict, xs: Dict, eps: jnp.ndarray):
         def body(pools, x):
@@ -113,6 +141,8 @@ def _segment_factor_lu(seg_keys: Tuple) -> callable:
                 u0 = gat(pools[("U", pd)], a["l0"], Wd)
                 u1 = gat(pools[("U", pd)], a["src"], Wd)
                 l0 = gat(pools[("L", pd)], a["l0"], Wd)
+                if shard_fn is not None:
+                    l1, u0, u1, l0 = map(shard_fn, (l1, u0, u1, l0))
                 dL = jnp.einsum("uhw,usw->uhs", l1, u0,
                                 precision=HIGHEST)
                 dU = jnp.einsum("uhw,usw->uhs", u1, l0,
@@ -147,12 +177,15 @@ def _segment_factor_lu(seg_keys: Tuple) -> callable:
                 idx = dbase[:, None] + jnp.arange(W)[None, :]
                 P = jax.lax.slice_in_dim(pools[("L", pw)], 0, W,
                                          axis=1)[idx]
-                F = _lu_nopiv(P, eps)
+                F, Pm = _lu_panel(P, eps, tol)
                 full = pools[("L", pw)].shape[1]
                 if W < full:
                     F = jnp.pad(F, ((0, 0), (0, 0), (0, full - W)))
+                    Pm = jnp.pad(Pm, ((0, 0), (0, 0), (0, full - W)))
                 pools[("L", pw)] = pools[("L", pw)].at[
                     idx.reshape(-1)].set(F.reshape(-1, full))
+                pools[("U", pw)] = pools[("U", pw)].at[
+                    idx.reshape(-1)].set(Pm.reshape(-1, full))
             for key in seg_keys:                    # 3. trsm phases
                 if key[0] != "trsm":
                     continue
@@ -163,10 +196,14 @@ def _segment_factor_lu(seg_keys: Tuple) -> callable:
                 slL = jax.lax.slice_in_dim(pools[("L", pw)], 0, W, axis=1)
                 slU = jax.lax.slice_in_dim(pools[("U", pw)], 0, W, axis=1)
                 Dk = slL[didx]                           # packed L\U
+                Pm = slU[didx]                           # one-hot pivots
                 XL = slL[rows]
                 YL = jax.lax.linalg.triangular_solve(
                     Dk, XL, left_side=False, lower=False)   # X U^{-1}
                 XU = slU[rows]
+                # U od rows see the PIVOTED block rows: XU <- XU P^T
+                XU = jnp.einsum("uqt,uit->uqi", XU, Pm,
+                                precision=HIGHEST)
                 YU = jax.lax.linalg.triangular_solve(
                     Dk, XU, left_side=False, lower=True,
                     transpose_a=True, unit_diagonal=True)   # X L^{-T}
@@ -186,22 +223,135 @@ def _segment_factor_lu(seg_keys: Tuple) -> callable:
     return run
 
 
+def _segment_solve_lu(seg_keys: Tuple, backward: bool,
+                      shard_fn=None) -> callable:
+    """Device-resident LU solve body over the chol solve schedule
+    (superscan._solve_xs — identical arrays): forward applies each
+    panel's pivot P then the unit-lower diag solve on the L pool and
+    od-axpys L od rows; backward od-axpys U od rows from the U pool
+    then upper-solves on the packed L\\U diag block."""
+
+    def run(pools, xpad, xs):
+        def body(xpad, x):
+            nn = xpad.shape[0] - 1
+            if not backward:
+                for key in seg_keys:
+                    if key[0] != "chol":
+                        continue
+                    _, pw, W = key
+                    dbase, cols = x[key]["dbase"], x[key]["cols"]
+                    idx = dbase[:, None] + jnp.arange(W)[None, :]
+                    Dk = jax.lax.slice_in_dim(
+                        pools[("L", pw)], 0, W, axis=1)[idx]
+                    Pm = jax.lax.slice_in_dim(
+                        pools[("U", pw)], 0, W, axis=1)[idx]
+                    xc = xpad[cols]
+                    xc = jnp.einsum("uij,uj->ui", Pm, xc,
+                                    precision=HIGHEST)
+                    y = jax.lax.linalg.triangular_solve(
+                        Dk, xc[:, :, None], left_side=True,
+                        lower=True, unit_diagonal=True)[:, :, 0]
+                    xpad = xpad.at[cols.reshape(-1)].set(y.reshape(-1))
+                for key in seg_keys:
+                    if key[0] != "trsm":
+                        continue
+                    _, pw, H, W = key
+                    a = x[key]
+                    sl = jax.lax.slice_in_dim(pools[("L", pw)], 0, W,
+                                              axis=1)
+                    mask = a["tgt"] < nn
+                    Y = jnp.where(mask[..., None], sl[a["rows"]], 0.0)
+                    xc = xpad[a["cols"]]                     # (U,W)
+                    if shard_fn is not None:
+                        Y = shard_fn(Y)
+                    delta = jnp.einsum("uhw,uw->uh", Y, xc,
+                                       precision=HIGHEST)
+                    xpad = xpad.at[a["tgt"].reshape(-1)].add(
+                        -delta.reshape(-1))
+            else:
+                for key in seg_keys:
+                    if key[0] != "trsm":
+                        continue
+                    _, pw, H, W = key
+                    a = x[key]
+                    sl = jax.lax.slice_in_dim(pools[("U", pw)], 0, W,
+                                              axis=1)
+                    mask = a["tgt"] < nn
+                    Y = jnp.where(mask[..., None], sl[a["rows"]], 0.0)
+                    xod = jnp.where(mask, xpad[a["tgt"]], 0.0)
+                    if shard_fn is not None:
+                        Y = shard_fn(Y)
+                    delta = jnp.einsum("uhw,uh->uw", Y, xod,
+                                       precision=HIGHEST)
+                    xpad = xpad.at[a["cols"].reshape(-1)].add(
+                        -delta.reshape(-1))
+                for key in seg_keys:
+                    if key[0] != "chol":
+                        continue
+                    _, pw, W = key
+                    dbase, cols = x[key]["dbase"], x[key]["cols"]
+                    idx = dbase[:, None] + jnp.arange(W)[None, :]
+                    Dk = jax.lax.slice_in_dim(
+                        pools[("L", pw)], 0, W, axis=1)[idx]
+                    xc = xpad[cols]
+                    y = jax.lax.linalg.triangular_solve(
+                        Dk, xc[:, :, None], left_side=True,
+                        lower=False)[:, :, 0]
+                    xpad = xpad.at[cols.reshape(-1)].set(y.reshape(-1))
+            xpad = xpad.at[nn].set(0.0)
+            return xpad, None
+
+        xpad, _ = jax.lax.scan(body, xpad, xs, reverse=backward)
+        return xpad
+
+    return run
+
+
 class SuperscanLU:
-    """Static-pivot sparse LU: A(p,p) = L U on the symmetrized-pattern
-    Cholesky fill, f32 on device + f64 refined host solves.
+    """Within-panel-pivoted sparse LU: P_panel A(p,p) = L U on the
+    symmetrized-pattern Cholesky fill, f32 on device + f64 refined
+    device-resident solves.
+
+    ``tol`` follows the reference's threshold-pivoting semantics
+    (cs_lu.c): 1.0 = strict partial pivoting within each panel's
+    diagonal block, 0.001 = diagonal-preferring (demo2's symmetric
+    setting), 0.0 = pure static pivoting (no row exchanges).
 
     factor() returns False only on a non-finite factor; tiny pivots are
-    perturbed (count in .perturbed) and healed by refinement — callers
-    should treat a non-converging refinement as singular (lu_tpu does).
+    perturbed (recorded eps) and healed by refinement — callers should
+    treat a non-converging refinement as singular (lu_tpu does).
     """
 
     def __init__(self, A: CSCMatrix, order: int = 1, wmax: int = None,
                  tau: float = 0.9, small_w: int = 8,
-                 max_segments: int = 10):
+                 max_segments: int = 10, tol: float = 1.0,
+                 match: object = "auto"):
         if A.m != A.n:
             raise ValueError("square matrix required")
         self.A = A
+        self.tol = float(tol)
         n = A.n
+        # numerical transversal (MC64-style bottleneck matching on
+        # cs_maxtrans): rows with weak diagonals get a large matched
+        # entry pivoted onto the diagonal BEFORE the symmetric-pattern
+        # analysis — the preprocessing that makes panel-restricted
+        # pivoting sufficient (symbolic.transversal).
+        self._match_p = None
+        self.match_alpha = None
+        from ..symbolic.transversal import (bottleneck_transversal,
+                                            diag_dominance)
+        if match == "auto":
+            match = n > 0 and A.nnz > 0 and diag_dominance(A) < 1e-2
+        if match:
+            mt = bottleneck_transversal(A)
+            if mt is not None:
+                p, alpha = mt
+                if not np.array_equal(p, np.arange(n)):
+                    self._match_p = p
+                    self.match_alpha = alpha
+                    A = permute(A, _pinv(p),
+                                np.arange(n, dtype=_IDX), values=True)
+        self._B = A                     # row-matched matrix (factored)
         # symmetrized pattern with guaranteed diagonal
         absA = CSCMatrix(n, n, A.indptr, A.indices, np.abs(A.data))
         S = add(absA, transpose(absA, values=True), 1.0, 1.0)
@@ -216,6 +366,8 @@ class SuperscanLU:
         self.pools = None
         self.perturbed = 0
         self._LU_host = None
+        self._solve_sched = None
+        self._sched_dev_cache = None
 
     # ---------------------------------------------------------- planning
     def _scatter_values(self):
@@ -225,7 +377,7 @@ class SuperscanLU:
         plan = self.plan
         n = plan.n
         piv = _pinv(plan.perm)
-        C = permute(self.A, piv, plan.perm, values=True)
+        C = permute(self._B, piv, plan.perm, values=True)
         panels = plan.panels
         col2p = np.zeros(n, dtype=_IDX)
         for pl in panels:
@@ -269,28 +421,32 @@ class SuperscanLU:
                     q = pl.W + np.searchsorted(pl.rows, jj[od])
                     Up[pl.pool][pl.rbase + q, ii[od] - pl.c0] = xx[od]
         self._Lp0, self._Up0 = Lp, Up
-        self._maxabs = float(np.abs(self.A.data).max()) if \
-            self.A.nnz else 1.0
+        self._maxabs = float(np.abs(self._B.data).max()) if \
+            self._B.nnz else 1.0
 
     # ------------------------------------------------------------ factor
     def factor(self) -> bool:
+        from .compilepool import compile_many
         plan = self.plan
         pools = {}
         for pw in plan.pool_init:
             pools[("L", pw)] = jnp.asarray(self._Lp0[pw])
             pools[("U", pw)] = jnp.asarray(self._Up0[pw])
         eps = jnp.float32(1e-8 * self._maxabs)
+        jobs = []
         for seg in plan.segments:
             if not seg.xs:
                 continue
             keys = tuple(sorted(seg.xs))
-            sig = ("lufactor",) + tuple(
+            sig = ("lufactor", self.tol, _pools_sig(pools)) + tuple(
                 (k,) + tuple(a.shape) for k in keys
                 for a in seg.xs[k].values())
-            if sig not in _JIT_CACHE:
-                _JIT_CACHE[sig] = jax.jit(_segment_factor_lu(keys))
             xs = {k: {nm: jnp.asarray(a) for nm, a in seg.xs[k].items()}
                   for k in keys}
+            jobs.append((sig, _segment_factor_lu(keys, self.tol),
+                         (pools, xs, eps)))
+        compile_many(_JIT_CACHE, jobs)
+        for sig, fn, (p0, xs, e) in jobs:
             pools = _JIT_CACHE[sig](pools, xs, eps)
         ok = all(bool(jnp.all(jnp.isfinite(
             v[:plan.pool_rows[pw]])))
@@ -300,9 +456,25 @@ class SuperscanLU:
         return ok
 
     # ------------------------------------------------------------- solve
-    def extract_LU(self) -> Tuple[CSCMatrix, CSCMatrix]:
+    def _panel_pivots(self) -> Dict[int, np.ndarray]:
+        """Host copy of each panel's local pivot order p (P[i, p_i]=1),
+        read from the U pool's diag slots — checkpoint/extract path."""
+        from .superscan import SuperscanCholesky
+        plan = self.plan
+        out = {}
+        hostU = {pw: SuperscanCholesky._fetch(self.pools[("U", pw)])
+                 for pw in plan.pool_init}
+        for pl in plan.panels:
+            Pm = hostU[pl.pool][pl.rbase:pl.rbase + pl.W, :pl.W]
+            out[pl.pid] = np.argmax(Pm, axis=1).astype(_IDX)
+        return out
+
+    def extract_LU(self) -> Tuple[CSCMatrix, CSCMatrix, np.ndarray]:
         """Host CSC L (unit diagonal explicit, diag first) and U (diag
-        last per column), permuted coordinates."""
+        last per column) in PIVOTED permuted coordinates, plus pglob:
+        the composed within-panel row pivot (pglob[i] = original
+        permuted row at pivoted position i).  Checkpoint/debug path —
+        solves are device-resident (VERDICT r2 item 1)."""
         if self.pools is None:
             raise ValueError("factor() first")
         plan = self.plan
@@ -313,6 +485,14 @@ class SuperscanLU:
                  for pw in plan.pool_init}
         hostU = {pw: SuperscanCholesky._fetch(self.pools[("U", pw)])
                  for pw in plan.pool_init}
+        # composed pivot: pglob[pivoted] = original, pinv_g[original] ->
+        # pivoted; identity outside true panel widths
+        pglob = np.arange(n, dtype=_IDX)
+        for pl in plan.panels:
+            Pm = hostU[pl.pool][pl.rbase:pl.rbase + pl.w, :pl.W]
+            pk = np.argmax(Pm, axis=1)
+            pglob[pl.c0:pl.c0 + pl.w] = pl.c0 + pk
+        pinv_g = _pinv(pglob)
         li, lj, lx = [], [], []               # L: unit diag + lower
         ui, uj, ux = [], [], []               # U: upper incl diag
         for pl in plan.panels:
@@ -321,6 +501,7 @@ class SuperscanLU:
             w = pl.w
             D = bL[pl.rbase:pl.rbase + w, :w]
             # strict-lower of packed D -> L; upper incl diag -> U
+            # (already in pivoted coordinates)
             r_lo, c_lo = np.tril_indices(w, -1)
             li.append(pl.c0 + r_lo); lj.append(pl.c0 + c_lo)
             lx.append(D[r_lo, c_lo])
@@ -331,36 +512,120 @@ class SuperscanLU:
             ux.append(D[r_up, c_up])
             if pl.rows.size:
                 od = bL[pl.rbase + pl.W:pl.rbase + pl.W + pl.rows.size, :w]
-                rr = np.repeat(pl.rows, w)
+                # od L rows relabel through the ANCESTOR pivots
+                rr = np.repeat(pinv_g[pl.rows], w)
                 cc = np.tile(pl.c0 + np.arange(w), pl.rows.size)
                 li.append(rr); lj.append(cc); lx.append(od.reshape(-1))
                 odU = bU[pl.rbase + pl.W:pl.rbase + pl.W + pl.rows.size,
                          :w]
-                # Upanel[q, t] = U[c0+t, rows[q]]
+                # Upanel[q, t] = U[c0+t, rows[q]]; U columns are
+                # variables — never relabeled by row pivoting
                 ui.append(np.tile(pl.c0 + np.arange(w), pl.rows.size))
-                uj.append(rr); ux.append(odU.reshape(-1))
+                uj.append(np.repeat(pl.rows, w)); ux.append(odU.reshape(-1))
         L = COOMatrix(n, n, np.concatenate(li), np.concatenate(lj),
                       np.concatenate(lx)).tocsc()
         U = COOMatrix(n, n, np.concatenate(ui), np.concatenate(uj),
                       np.concatenate(ux)).tocsc()
-        return L, U
+        return L, U, pglob
 
-    def _solve_f32(self, b: np.ndarray) -> np.ndarray:
+    def _solve_f32_host(self, b: np.ndarray) -> np.ndarray:
         from ..numeric.trisolve import lsolve, usolve
         if self._LU_host is None:
             self._LU_host = self.extract_LU()
-        L, U = self._LU_host
-        xp = lsolve(L, pvec(self.plan.perm, np.asarray(b, np.float64)))
+        L, U, pglob = self._LU_host
+        b = np.asarray(b, np.float64)
+        if self._match_p is not None:
+            b = b[self._match_p]
+        bp = pvec(self.plan.perm, b)
+        xp = lsolve(L, bp[pglob])
         xp = usolve(U, xp)
         if xp is None:
             raise FloatingPointError("singular U")
         return ipvec(self.plan.perm, xp)
 
+    def _sched(self):
+        if self._solve_sched is None:
+            self._solve_sched = _solve_xs(self.plan)
+        return self._solve_sched
+
+    def _sched_dev(self, si):
+        """Solve schedule for segment si, uploaded once per factor
+        object (same caching rationale as SuperscanCholesky)."""
+        if self._sched_dev_cache is None:
+            self._sched_dev_cache = {}
+        xs = self._sched_dev_cache.get(si)
+        if xs is None:
+            sched = self._sched()
+            xs = {k: {nm: jnp.asarray(a)
+                      for nm, a in sched[si][k].items()}
+                  for k in sorted(sched[si])}
+            self._sched_dev_cache[si] = xs
+        return xs
+
+    def _solve_f32(self, b: np.ndarray) -> np.ndarray:
+        """Device-resident forward/backward solve over the pools —
+        the factor never leaves the device (reference contract:
+        cs_lusol.c factor-once/solve-many on the csn object)."""
+        from .compilepool import compile_many
+        plan = self.plan
+        sched = self._sched()
+        b = np.asarray(b, np.float64)
+        if self._match_p is not None:
+            b = b[self._match_p]
+        bp = pvec(plan.perm, b)
+        xpad = np.zeros(plan.n + 1, dtype=np.float32)
+        xpad[:plan.n] = bp
+        xpad = jnp.asarray(xpad)
+        jobs = []
+        for direction in ("lusolvef", "lusolveb"):
+            for si in range(len(plan.segments)):
+                keys = tuple(sorted(sched[si]))
+                if not keys:
+                    continue
+                sig = (direction, _pools_sig(self.pools),
+                       xpad.shape) + tuple(
+                    (k,) + tuple(a.shape) for k in keys
+                    for a in sched[si][k].values())
+                jobs.append((sig, _segment_solve_lu(
+                    keys, direction == "lusolveb"),
+                    (self.pools, xpad, self._sched_dev(si))))
+        compile_many(_JIT_CACHE, jobs)
+        for direction in ("lusolvef", "lusolveb"):
+            back = direction == "lusolveb"
+            order = (range(len(plan.segments)) if not back
+                     else range(len(plan.segments) - 1, -1, -1))
+            for si in order:
+                keys = tuple(sorted(sched[si]))
+                if not keys:
+                    continue
+                sig = (direction, _pools_sig(self.pools),
+                       xpad.shape) + tuple(
+                    (k,) + tuple(a.shape) for k in keys
+                    for a in sched[si][k].values())
+                if sig not in _JIT_CACHE:
+                    _JIT_CACHE[sig] = jax.jit(
+                        _segment_solve_lu(keys, back))
+                xpad = _JIT_CACHE[sig](self.pools, xpad,
+                                       self._sched_dev(si))
+        xp = np.asarray(xpad, np.float64)[:plan.n]
+        return ipvec(plan.perm, xp)
+
     def solve(self, b: np.ndarray, refine_iters: int = 3) -> np.ndarray:
         from .refine import refine
         if self.pools is None and not self.factor():
             raise ValueError("matrix is singular")
-        return refine(self.A, self._solve_f32, b, iters=refine_iters)
+        solver = (self._solve_f32_host
+                  if os.environ.get("TPUSPARSE_LU_HOST_SOLVE")
+                  else self._solve_f32)
+        return refine(self.A, solver, b, iters=refine_iters)
+
+    def solve_host(self, b: np.ndarray, refine_iters: int = 3) -> np.ndarray:
+        """Host f64 trisolves on the extracted factor (checkpoint /
+        debug path — downloads the pools)."""
+        from .refine import refine
+        if self.pools is None and not self.factor():
+            raise ValueError("matrix is singular")
+        return refine(self.A, self._solve_f32_host, b, iters=refine_iters)
 
     def metrics(self):
         from ..utils.profiling import Metrics
@@ -374,5 +639,6 @@ class SuperscanLU:
                  lu_panels=len(plan.panels),
                  lu_segments=len(plan.segments),
                  lu_levels=int(plan.nlevels),
-                 lu_lnz=int(plan.lnz))
+                 lu_lnz=int(plan.lnz),
+                 lu_pivot_tol=self.tol)
         return m

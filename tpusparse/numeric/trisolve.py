@@ -4,8 +4,11 @@ Reference (SURVEY.md §2.2): csparse::cs_lsolve / cs_lsolve.c,
 cs_ltsolve.c, cs_usolve.c, cs_utsolve.c.  Contract: L is stored with the
 diagonal entry FIRST in each column, U with the diagonal LAST — exactly
 what the chol/lu factorizations produce.  Host f64 versions; the
-level-scheduled batched device versions live in
-tpusparse.device.trisolve_tpu.
+level-scheduled batched DEVICE triangular solves live inside each
+engine's solve schedule (device.chol_tpu._solve_fn,
+device.superscan._segment_solve, device.superscan_lu._segment_solve_lu,
+device.supernodal._solve_fn) — they operate on the packed pools, not on
+CSC, so they are engine methods rather than a standalone module.
 """
 
 from __future__ import annotations

@@ -30,7 +30,11 @@ from ..core.matrix import CSCMatrix
 from ..device.config import DTYPE, HIGHEST, round_up
 from ..device.formats import to_ell
 
-__all__ = ["ShardedSpmv", "sharded_chol_factor", "sharded_cg"]
+__all__ = ["ShardedSpmv", "sharded_chol_factor",
+           "sharded_supernodal_factor", "sharded_supernodal_solve",
+           "sharded_superscan_factor", "sharded_superscan_solve",
+           "superscan_comm_metrics", "supernodal_comm_metrics",
+           "sharded_cg"]
 
 
 class ShardedSpmv:
@@ -343,24 +347,114 @@ def sharded_superscan_factor(plan, mesh: Mesh, axis: str = "d"):
     return factor
 
 
+def sharded_superscan_solve(F, mesh: Mesh, axis: str = "d") -> Callable:
+    """Device-resident superscan L L' solve with the per-step trsm
+    batches sharded over the mesh (VERDICT r2 item 4 — the factor was
+    sharded, the solve ran single-chip).  ``F`` is a factored
+    SuperscanCholesky; returns solve_f32(b) -> x (one f32 pass, same
+    contract as F._solve_f32 — wrap in device.refine for f64 grade).
+
+    Layout: pools and xpad replicated; each trsm phase's (U, H, W) row
+    gather carries a batch-axis sharding, so GSPMD splits the od-GEMMs
+    across devices and all-reduces the xpad scatter-add deltas over
+    ICI.  Diag solves stay replicated (tiny)."""
+    from ..core.perm import ipvec, pvec
+    from ..device.superscan import (_JIT_CACHE, _pools_sig,
+                                    _segment_solve, _solve_xs)
+    plan = F.plan
+    nd = mesh.devices.size
+    batch_sh = NamedSharding(mesh, P(axis))
+
+    def shard_fn(Y):
+        if Y.shape[0] % nd == 0 and Y.shape[0] >= nd:
+            return jax.lax.with_sharding_constraint(Y, batch_sh)
+        return Y
+
+    n = plan.n
+    sched = _solve_xs(plan)
+    seg_dev = []
+    for seg in sched:
+        xs = {}
+        for k, d in seg.items():
+            if k[0] == "trsm":
+                U = d["rows"].shape[1]
+                padu = (-U) % nd
+                # pad slots gather pool row 0 but carry tgt/cols = n,
+                # so their contribution is masked to zero
+                xs[k] = {
+                    "rows": np.pad(d["rows"], ((0, 0), (0, padu),
+                                               (0, 0))),
+                    "cols": np.pad(d["cols"], ((0, 0), (0, padu),
+                                               (0, 0)),
+                                   constant_values=n),
+                    "tgt": np.pad(d["tgt"], ((0, 0), (0, padu),
+                                             (0, 0)),
+                                  constant_values=n)}
+            else:
+                xs[k] = d
+        seg_dev.append({k: {nm: jnp.asarray(a)
+                            for nm, a in xs[k].items()}
+                        for k in sorted(xs)})
+
+    def run(xpad):
+        for direction in ("shsolvef", "shsolveb"):
+            back = direction == "shsolveb"
+            order = (range(len(plan.segments)) if not back
+                     else range(len(plan.segments) - 1, -1, -1))
+            for si in order:
+                keys = tuple(sorted(seg_dev[si]))
+                if not keys:
+                    continue
+                sig = (direction, nd, mesh.axis_names,
+                       _pools_sig(F.pools), xpad.shape) + tuple(
+                    (k,) + tuple(a.shape) for k in keys
+                    for a in seg_dev[si][k].values())
+                if sig not in _JIT_CACHE:
+                    _JIT_CACHE[sig] = jax.jit(_segment_solve(
+                        keys, back, shard_fn=shard_fn))
+                xpad = _JIT_CACHE[sig](F.pools, xpad, seg_dev[si])
+        return xpad
+
+    def solve_f32(b):
+        bp = pvec(plan.perm, np.asarray(b, np.float64))
+        xpad = np.zeros(n + 1, dtype=np.float32)
+        xpad[:n] = bp
+        out = run(jnp.asarray(xpad))
+        return ipvec(plan.perm, np.asarray(out, np.float64)[:n])
+
+    return solve_f32
+
+
 def superscan_comm_metrics(plan, n_devices: int) -> dict:
-    """Structural ICI model for the sharded superscan factor: phases
-    whose unit batches shard (U >= mesh) all-reduce their scatter-add
-    deltas — bytes = 4 * steps * U * H * pool_width per phase."""
+    """Structural ICI model for the sharded superscan factor AND solve:
+    phases whose batches shard (U >= mesh after padding) all-reduce
+    their scatter-add deltas — factor bytes = 4 * steps * U * H *
+    pool_width per update phase; solve bytes = 4 * steps * U * (H + W)
+    per trsm phase (forward od-delta + backward col-delta)."""
     nd = max(int(n_devices), 1)
-    comm = 0
+    comm_f = 0
+    comm_s = 0
     flops = int(plan.flops_padded)
     for seg in plan.segments:
         steps = seg.hi - seg.lo
         for k, d in seg.xs.items():
-            if k[0] not in ("upd", "upds"):
-                continue
-            U = d["src"].shape[1]
-            H = d["src"].shape[2]
-            pw = k[2]
-            if U + ((-U) % nd) >= nd and U >= 1:
-                comm += 4 * steps * (U + ((-U) % nd)) * H * pw
-    return {"mesh_devices": nd, "comm_bytes_total": int(comm),
+            if k[0] in ("upd", "upds"):
+                U = d["src"].shape[1]
+                H = d["src"].shape[2]
+                pw = k[2]
+                if U + ((-U) % nd) >= nd and U >= 1:
+                    comm_f += 4 * steps * (U + ((-U) % nd)) * H * pw
+            elif k[0] == "trsm":
+                _, pw, H, W = k
+                U = d["rows"].shape[1]
+                Upad = U + ((-U) % nd)
+                if Upad >= nd and U >= 1:
+                    comm_s += 4 * steps * Upad * (H + W)
+    comm = comm_f + comm_s
+    return {"mesh_devices": nd,
+            "comm_bytes_factor": int(comm_f),
+            "comm_bytes_solve": int(comm_s),
+            "comm_bytes_total": int(comm),
             "compute_flops_issued": flops,
             "comm_bytes_per_flop": comm / max(flops, 1),
             "segments": len(plan.segments)}

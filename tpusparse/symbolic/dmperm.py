@@ -83,7 +83,7 @@ def _augment(k, Ap, Ai, jmatch, cheap, w, js, iss, ps):
             jmatch[iss[p]] = js[p]
 
 
-def maxtrans(A: CSCMatrix, seed: int = 0):
+def maxtrans(A: CSCMatrix, seed: int = 0, imatch0=None):
     """Maximum transversal (maximum bipartite matching).
 
     Returns (jmatch, imatch): jmatch[i] = column matched to row i (or -1),
@@ -91,40 +91,59 @@ def maxtrans(A: CSCMatrix, seed: int = 0):
     Reference: csparse::cs_maxtrans / cs_maxtrans.c — cheap-assignment
     pass then one augmenting-path DFS per column, on whichever of A / A'
     has fewer nonempty "columns".
+
+    ``imatch0`` (optional, col -> row partial matching) WARM-STARTS the
+    search: matched pairs are kept and only unmatched columns run the
+    augmenting DFS — used by symbolic.transversal to complete a
+    large-entry bottleneck matching without discarding it (augmenting
+    paths reroute existing pairs only when necessary).
     """
     m, n = A.m, A.n
     Ap, Ai = A.indptr, A.indices
-    # quick return if the diagonal is zero-free
-    k = 0
-    for j in range(min(m, n)):
-        lo, hi = Ap[j], Ap[j + 1]
-        if np.any(Ai[lo:hi] == j):
-            k += 1
-    if k == min(m, n):
-        jmatch = np.concatenate([np.arange(k, dtype=_IDX),
-                                 np.full(m - k, -1, dtype=_IDX)])
-        imatch = np.concatenate([np.arange(k, dtype=_IDX),
-                                 np.full(n - k, -1, dtype=_IDX)])
-        return jmatch, imatch
-    # choose the cheaper orientation
-    n2 = int(np.count_nonzero(np.diff(Ap) > 0))
-    rowflag = np.zeros(m, dtype=bool)
-    rowflag[Ai] = True
-    m2 = int(rowflag.sum())
-    trans = m2 < n2
+    if imatch0 is None:
+        # quick return if the diagonal is zero-free
+        k = 0
+        for j in range(min(m, n)):
+            lo, hi = Ap[j], Ap[j + 1]
+            if np.any(Ai[lo:hi] == j):
+                k += 1
+        if k == min(m, n):
+            jmatch = np.concatenate([np.arange(k, dtype=_IDX),
+                                     np.full(m - k, -1, dtype=_IDX)])
+            imatch = np.concatenate([np.arange(k, dtype=_IDX),
+                                     np.full(n - k, -1, dtype=_IDX)])
+            return jmatch, imatch
+    # choose the cheaper orientation (warm start pins orientation to A)
+    if imatch0 is None:
+        n2 = int(np.count_nonzero(np.diff(Ap) > 0))
+        rowflag = np.zeros(m, dtype=bool)
+        rowflag[Ai] = True
+        m2 = int(rowflag.sum())
+        trans = m2 < n2
+    else:
+        trans = False
     C = transpose(A, values=False) if trans else A
     cm, cn = C.m, C.n
     Cp, Ci = C.indptr, C.indices
     jm = np.full(cm, -1, dtype=_IDX)            # row -> col matching of C
+    todo = None
+    if imatch0 is not None:
+        ok0 = imatch0 >= 0
+        jm[imatch0[ok0]] = np.where(ok0)[0]
+        todo = np.where(~ok0)[0]
     cheap = Cp[:cn].copy()
     w = np.full(cn, -1, dtype=_IDX)
     js = np.zeros(cn, dtype=_IDX)
     iss = np.zeros(cn, dtype=_IDX)
     ps = np.zeros(cn, dtype=_IDX)
-    q = randperm(cn, seed)
-    for kk in range(cn):
-        _augment(int(q[kk]) if q is not None else kk,
-                 Cp, Ci, jm, cheap, w, js, iss, ps)
+    if todo is not None:
+        for kk in todo:
+            _augment(int(kk), Cp, Ci, jm, cheap, w, js, iss, ps)
+    else:
+        q = randperm(cn, seed)
+        for kk in range(cn):
+            _augment(int(q[kk]) if q is not None else kk,
+                     Cp, Ci, jm, cheap, w, js, iss, ps)
     im = np.full(cn, -1, dtype=_IDX)            # col -> row matching of C
     for i in range(cm):
         if jm[i] >= 0:
