@@ -5,7 +5,9 @@ kernel vs the XLA ELL-gather path, with the banded DIA path as the
 relay-floor reference.  Same serialized y-carry harness as bench.py.
 Prints ONE JSON line.
 
-Env: TPUSPARSE_BENCH_SPMV_N (default 131072), TPUSPARSE_BENCH_CPU=1.
+Env: TPUSPARSE_BENCH_SPMV_N (default 131072), TPUSPARSE_BENCH_CPU=1,
+TPUSPARSE_BENCH_SPMV_GRAPH=ba for the power-law (Barabasi-Albert)
+variant exercising the segmented-sum path (VERDICT r2 item 6).
 """
 
 import json
@@ -35,6 +37,39 @@ def irregular_graph(n, k=6, seed=0):
     rows = np.repeat(np.arange(n), k)
     cols = idx[:, 1:].reshape(-1)
     M = sp.coo_matrix((rng.normal(size=rows.size), (rows, cols)),
+                      shape=(n, n)).tocsc()
+    M = (M + M.T + sp.eye(n) * 10).tocsc()
+    M.sort_indices()
+    from tpusparse.core import CSCMatrix
+    return CSCMatrix(n, n, M.indptr, M.indices, M.data)
+
+
+def ba_graph(n, m0=4, seed=0):
+    """Barabasi-Albert preferential attachment: power-law degree tail
+    (hub degree ~ O(sqrt(n*m0))) — the shape whose max-substep slabs /
+    COO spill defeat the SELL packing (VERDICT r2 item 6)."""
+    import scipy.sparse as sp
+    rng = np.random.default_rng(seed)
+    # vectorized preferential attachment: sample targets from the
+    # endpoint multiset built so far, in batches
+    repeated = np.zeros(2 * m0 * n, np.int64)
+    rlen = 0
+    for v in range(m0):
+        repeated[rlen] = v
+        rlen += 1
+    rows = np.empty(m0 * (n - m0), np.int64)
+    cols = np.empty(m0 * (n - m0), np.int64)
+    e = 0
+    for v in range(m0, n):
+        tg = (np.arange(m0) if v == m0 else
+              repeated[rng.integers(0, rlen, size=m0)])
+        rows[e:e + m0] = v
+        cols[e:e + m0] = tg
+        repeated[rlen:rlen + m0] = tg
+        repeated[rlen + m0:rlen + 2 * m0] = v
+        rlen += 2 * m0
+        e += m0
+    M = sp.coo_matrix((rng.normal(size=e), (rows[:e], cols[:e])),
                       shape=(n, n)).tocsc()
     M = (M + M.T + sp.eye(n) * 10).tocsc()
     M.sort_indices()
@@ -97,18 +132,33 @@ def main():
     from bench import grid_spd
 
     n = int(os.environ.get("TPUSPARSE_BENCH_SPMV_N", "131072"))
-    A = irregular_graph(n)
-    log(f"spmv bench: irregular kNN graph n={A.n} nnz={A.nnz}, "
-        f"backend={jax.default_backend()}")
+    graph = os.environ.get("TPUSPARSE_BENCH_SPMV_GRAPH", "knn")
+    if graph == "ba":
+        A = ba_graph(n)
+        deg = np.bincount(A.indices, minlength=A.m)
+        log(f"spmv bench: Barabasi-Albert n={A.n} nnz={A.nnz} "
+            f"maxdeg={deg.max()} meddeg={np.median(deg):.0f}, "
+            f"backend={jax.default_backend()}")
+        modes = ("seg", "sell", "ell")
+    else:
+        A = irregular_graph(n)
+        log(f"spmv bench: irregular kNN graph n={A.n} nnz={A.nnz}, "
+            f"backend={jax.default_backend()}")
+        modes = ("sell", "ell")
 
     out = {}
-    for mode in ("sell", "ell"):
+    for mode in modes:
         t0 = time.perf_counter()
         plan = spmv_plan(A, mode=mode)
         t_plan = time.perf_counter() - t0
         t = measure(plan, A.n, jax, jnp)
         gbs = plan.bytes_min / t / 1e9
         extra = ""
+        if mode == "seg":
+            extra = (f" waste={plan.waste_ratio:.3f} spill={plan.spill}"
+                     f" (auto={spmv_plan(A, mode='auto').mode})")
+            out["seg_waste"] = round(plan.waste_ratio, 4)
+            out["seg_spill_frac"] = float(plan.spill) / A.nnz
         if mode == "sell":
             extra = (f" waste={plan.waste_ratio:.3f} "
                      f"spill={plan.spill}/{A.nnz}")
@@ -135,11 +185,13 @@ def main():
         f"{dia_gbs:.2f} GB/s")
     out["dia_gbs"] = round(dia_gbs, 2)
 
+    lead = "seg_gbs" if graph == "ba" else "sell_gbs"
     print(json.dumps({
-        "metric": "spmv_irregular_gbs",
-        "value": out["sell_gbs"],
+        "metric": ("spmv_powerlaw_gbs" if graph == "ba"
+                   else "spmv_irregular_gbs"),
+        "value": out[lead],
         "unit": "GB/s(min-bytes)",
-        "vs_baseline": round(out["sell_gbs"] / max(out["ell_gbs"], 1e-9),
+        "vs_baseline": round(out[lead] / max(out["ell_gbs"], 1e-9),
                              2),
         "n": A.n,
         "nnz": A.nnz,
