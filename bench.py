@@ -418,6 +418,7 @@ def main():
         "flops_true": plan.flops_true,
         "flops_padded": plan.flops_padded,
         "tile_waste_ratio": round(plan.waste_ratio, 4),
+        "slot_occupancy": round(getattr(plan, "slot_occupancy", 1.0), 4),
         "refined_residual": float(f"{r:.3e}"),
         "spmv_gbs_min_bytes": round(gbs, 2),
         "engine": engine,

@@ -160,6 +160,7 @@ def main():
         "flops_true": ft,
         "flops_padded": fp,
         "waste_ratio": round(plan.waste_ratio, 4),
+        "slot_occupancy": round(getattr(plan, "slot_occupancy", 1.0), 4),
         "refined_residual": float(f"{r:.3e}"),
         "solve_device_resident": True,
         "t_solve_s": round(t_solve, 2),

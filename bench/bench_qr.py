@@ -130,6 +130,7 @@ def main():
         "flops_true": plan.flops_true,
         "flops_padded": plan.flops_padded,
         "waste_ratio": round(plan.waste_ratio, 4),
+        "slot_occupancy": round(getattr(plan, "slot_occupancy", 1.0), 4),
         "normal_eq_residual": float(f"{rel:.3e}"),
         "solve_device_resident": True,
         "t_solve_s": round(t_solve, 2),

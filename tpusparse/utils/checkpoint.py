@@ -196,7 +196,10 @@ def save_superscan_lu_factor(path: str, F) -> None:
     plan = F.plan
     d = {"perm": plan.perm, "n": np.array([plan.n]),
          "perturbed": np.array([F.perturbed]),
-         "lnz": np.array([plan.lnz])}
+         "lnz": np.array([plan.lnz]),
+         "tol": np.array([F.tol])}
+    if F._match_p is not None:
+        d["match_p"] = F._match_p
     for (side, pw), v in F.pools.items():
         d[f"pool_{side}_{pw}"] = np.asarray(v)
     np.savez_compressed(path, **d)
@@ -211,10 +214,19 @@ def load_superscan_lu_factor(path: str, A: CSCMatrix, **plan_kwargs):
 
     from ..device.superscan_lu import SuperscanLU
     z = np.load(path)
+    if "tol" in z:
+        plan_kwargs.setdefault("tol", float(z["tol"][0]))
     F = SuperscanLU(A, **plan_kwargs)
     if int(z["n"][0]) != F.plan.n or not np.array_equal(
             z["perm"], F.plan.perm):
         raise ValueError("checkpoint does not match this matrix/plan")
+    ck_match = z["match_p"] if "match_p" in z else None
+    here = F._match_p
+    if (ck_match is None) != (here is None) or (
+            ck_match is not None and not np.array_equal(ck_match, here)):
+        raise ValueError("checkpoint matching permutation does not "
+                         "match this matrix (numerical transversal "
+                         "diverged)")
     pools = {}
     for side in ("L", "U"):
         for pw in F.plan.pool_init:

@@ -56,7 +56,8 @@ class Metrics:
 
     def record_plan(self, prefix: str, plan) -> "Metrics":
         for attr in ("flops_true", "flops_padded", "lnz", "waste_ratio",
-                     "bytes_min", "bytes_padded", "flops"):
+                     "bytes_min", "bytes_padded", "flops",
+                     "slot_occupancy"):
             if hasattr(plan, attr):
                 v = getattr(plan, attr)
                 self.values[f"{prefix}_{attr}"] = (
