@@ -173,7 +173,10 @@ def test_within_panel_pivoting_rescues_weak_diagonal(weak):
     d = S.toarray()
     F0 = SuperscanLU(M, order=1, wmax=32, tol=0.0, match=False)
     assert F0.factor()
-    r0 = resid(d, F0.solve(b), b)
+    try:
+        r0 = resid(d, F0.solve(b), b)
+    except ValueError:                     # flagged as numerically
+        r0 = np.inf                        # singular — also a failure
     F1 = SuperscanLU(M, order=1, wmax=32, tol=1.0, match=False)
     assert F1.factor()
     r1 = resid(d, F1.solve(b), b)
@@ -234,3 +237,17 @@ def test_solve_many_consistent(rng):
     for seed in (0, 1):
         b = np.random.default_rng(seed).normal(size=n)
         assert resid(S.toarray(), F.solve(b), b) < 1e-13
+
+
+def test_solve_many_device_resident(rng):
+    """(n, k) multi-RHS through the vmapped device solve — the
+    factor-once/solve-many csn contract, device-resident."""
+    M, S = _convdiff(10)
+    n = M.n
+    F = SuperscanLU(M, order=1, wmax=16)
+    assert F.factor()
+    B = rng.normal(size=(n, 3))
+    X = F.solve_many(B)
+    assert F._LU_host is None
+    for j in range(3):
+        assert resid(S.toarray(), X[:, j], B[:, j]) < 1e-13

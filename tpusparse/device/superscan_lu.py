@@ -657,13 +657,25 @@ class SuperscanLU:
         return ipvec(plan.perm, xp)
 
     def solve(self, b: np.ndarray, refine_iters: int = 3) -> np.ndarray:
+        from ..core.ops import gaxpy, norm1
         from .refine import refine
         if self.pools is None and not self.factor():
             raise ValueError("matrix is singular")
         solver = (self._solve_f32_host
                   if os.environ.get("TPUSPARSE_LU_HOST_SOLVE")
                   else self._solve_f32)
-        return refine(self.A, solver, b, iters=refine_iters)
+        x = refine(self.A, solver, b, iters=refine_iters)
+        # numerical singularity on the static-shape path shows up as a
+        # residual refinement cannot heal (perturbed pivots / extreme
+        # growth) — surface it like the reference's cs_lu failure
+        # instead of returning garbage (same contract as lu_tpu.solve)
+        b64 = np.asarray(b, np.float64)
+        r = b64 - gaxpy(self.A, x, np.zeros_like(b64))
+        denom = (norm1(self.A) * np.abs(x).max() + np.abs(b64).max()
+                 + 1e-300)
+        if not np.isfinite(x).all() or np.abs(r).max() / denom > 1e-6:
+            raise ValueError("matrix is singular (refinement diverged)")
+        return x
 
     def solve_host(self, b: np.ndarray, refine_iters: int = 3) -> np.ndarray:
         """Host f64 trisolves on the extracted factor (checkpoint /
@@ -672,6 +684,67 @@ class SuperscanLU:
         if self.pools is None and not self.factor():
             raise ValueError("matrix is singular")
         return refine(self.A, self._solve_f32_host, b, iters=refine_iters)
+
+    def solve_many(self, B: np.ndarray,
+                   refine_iters: int = 3) -> np.ndarray:
+        """Solve A X = B for (n, k) right-hand sides: the device solve
+        vmapped over the RHS axis (one dispatch chain per segment) +
+        batched f64 refinement — the factor-once/solve-many contract of
+        the reference csn object (cs_lusol.c), device-resident."""
+        B = np.asarray(B, dtype=np.float64)
+        if B.ndim == 1:
+            return self.solve(B, refine_iters)
+        if self.pools is None and not self.factor():
+            raise ValueError("matrix is singular")
+        plan = self.plan
+        sched = self._sched()
+        from ..core.ops import gaxpy, norm1
+
+        def run_many(xpads):                     # (k, n+1) jnp
+            for direction in ("vlusolvef", "vlusolveb"):
+                back = direction == "vlusolveb"
+                order = (range(len(plan.segments)) if not back
+                         else range(len(plan.segments) - 1, -1, -1))
+                for si in order:
+                    keys = tuple(sorted(sched[si]))
+                    if not keys:
+                        continue
+                    sig = (direction, _pools_sig(self.pools),
+                           xpads.shape) + tuple(
+                        (k,) + tuple(a.shape) for k in keys
+                        for a in sched[si][k].values())
+                    if sig not in _JIT_CACHE:
+                        _JIT_CACHE[sig] = jax.jit(jax.vmap(
+                            _segment_solve_lu(keys, back),
+                            in_axes=(None, 0, None)))
+                    xpads = _JIT_CACHE[sig](self.pools, xpads,
+                                            self._sched_dev(si))
+            return xpads
+
+        def solve_f32_many(Bm):
+            k = Bm.shape[1]
+            if self._match_p is not None:
+                Bm = Bm[self._match_p]
+            Bp = Bm[plan.perm]
+            xpad = np.zeros((k, plan.n + 1), dtype=np.float32)
+            xpad[:, :plan.n] = Bp.T
+            out = np.asarray(run_many(jnp.asarray(xpad)),
+                             np.float64)[:, :plan.n].T
+            res = np.zeros_like(out)
+            res[plan.perm] = out
+            return res
+
+        X = solve_f32_many(B)
+        nrmA = norm1(self.A)
+        for _ in range(refine_iters):
+            R = np.stack([B[:, j] - gaxpy(self.A, X[:, j],
+                                          np.zeros(self.A.m))
+                          for j in range(B.shape[1])], axis=1)
+            denom = nrmA * np.abs(X).max() + np.abs(B).max()
+            if denom == 0 or np.abs(R).max() / denom < 1e-14:
+                break
+            X = X + solve_f32_many(R)
+        return X
 
     def metrics(self):
         from ..utils.profiling import Metrics
