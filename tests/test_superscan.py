@@ -235,3 +235,22 @@ def test_trsm_tiles_batched_kernel(rng):
         jnp.asarray(L), jnp.asarray(X), left_side=False, lower=True,
         transpose_a=True))
     assert np.abs(Y - Yref).max() / np.abs(Yref).max() < 1e-5
+
+
+def test_solve_schedule_byte_splitting(rng, monkeypatch):
+    """TPUSPARSE_SOLVE_XS_MAX_BYTES splits solve scan programs along
+    the step axis (device-fault guard for coarse factor segmentations)
+    without changing results."""
+    d, A = _spd(rng, 128, 0.1)
+    b = rng.normal(size=128)
+    F = SuperscanCholesky(A, order=1, wmax=16, max_segments=4)
+    assert F.factor()
+    x_ref = F.solve(b)
+    monkeypatch.setenv("TPUSPARSE_SOLVE_XS_MAX_BYTES", "2048")
+    F2 = SuperscanCholesky(A, order=1, wmax=16, max_segments=4)
+    assert F2.factor()
+    from tpusparse.device.superscan import _solve_xs
+    assert len(_solve_xs(F2.plan)) > len(F2.plan.segments)
+    x_split = F2.solve(b)
+    assert resid(d, x_split, b) < 1e-12
+    assert np.allclose(x_ref, x_split, rtol=1e-6, atol=1e-8)

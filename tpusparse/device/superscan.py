@@ -785,7 +785,17 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = None,
                 if v < dp[j, s]:
                     dp[j, s] = v
                     back[j, s] = i
-    sbest = int(np.argmin(dp[B - 1]))
+    # segment-count selection: each extra segment is one more compiled
+    # program; on the axon relay a segment program costs a ~fixed ~24 s
+    # to compile (measured 262k: 32 programs 766 s vs 8 programs 202 s,
+    # artifacts bench_tpu_superscan_3d_262144_{r4,seg8}).  The env knob
+    # charges the DP a flop-equivalent per segment so one-shot
+    # factorizations can trade issued flops for first-run wall; default
+    # 0 keeps the pure flop optimum (factor-once/solve-many amortizes
+    # the compile wall).
+    seg_cost = float(os.environ.get("TPUSPARSE_SEG_COMPILE_COST", "0"))
+    sbest = int(np.argmin(dp[B - 1]
+                          + seg_cost * np.arange(max_segments + 1)))
     bnds = [B - 1]
     while bnds[-1] > 0:
         bnds.append(int(back[bnds[-1], sbest]))
@@ -1350,6 +1360,30 @@ def _solve_xs(plan: SuperscanPlan):
         ok &= (T["rb"][i] == d) if T["rb"].size else False
         return np.where(ok, i, -1)
 
+    # the solve segmentation is DECOUPLED from the factor's: one solve
+    # scan program per <=SOLVE_XS_MAX_BYTES of schedule arrays.  Fewer
+    # factor segments (TPUSPARSE_SEG_COMPILE_COST / BENCH_SEGMENTS=8)
+    # concentrate steps, and a single oversized solve program faults
+    # the axon worker (observed at 262k/seg8: factor fine, solve
+    # crashed the TPU worker); splitting along the step axis is always
+    # legal — the scan is sequential over steps either way.
+    max_bytes = int(os.environ.get("TPUSPARSE_SOLVE_XS_MAX_BYTES",
+                                   str(96 << 20)))
+
+    def _split(seg_xs):
+        if not seg_xs:
+            return [seg_xs]
+        steps = next(iter(next(iter(seg_xs.values())).values())).shape[0]
+        bytes_per_step = sum(a.nbytes // max(steps, 1)
+                             for d in seg_xs.values()
+                             for a in d.values())
+        chunk = max(1, max_bytes // max(bytes_per_step, 1))
+        if steps <= chunk:
+            return [seg_xs]
+        return [{k: {nm: a[lo:lo + chunk] for nm, a in d.items()}
+                 for k, d in seg_xs.items()}
+                for lo in range(0, steps, chunk)]
+
     out = []
     for seg in plan.segments:
         seg_xs = {}
@@ -1392,7 +1426,7 @@ def _solve_xs(plan: SuperscanPlan):
                                (T["rcat"][gidx] if T["rcat"].size
                                 else 0), n).astype(np.int32)
                 seg_xs[key] = {"rows": rows, "cols": cols, "tgt": tgt}
-        out.append(seg_xs)
+        out.extend(_split(seg_xs))
     return out
 
 
@@ -1522,7 +1556,7 @@ class SuperscanCholesky:
         sched = self._sched()
         jobs = []
         for direction in ("solvef", "solveb"):
-            for si in range(len(plan.segments)):
+            for si in range(len(sched)):
                 keys = tuple(sorted(sched[si]))
                 if not keys:
                     continue
@@ -1535,8 +1569,8 @@ class SuperscanCholesky:
                     (self.pools, xpad, self._sched_dev(si))))
         compile_many(_JIT_CACHE, jobs)
         for direction in ("solvef", "solveb"):
-            order = (range(len(plan.segments)) if direction == "solvef"
-                     else range(len(plan.segments) - 1, -1, -1))
+            order = (range(len(sched)) if direction == "solvef"
+                     else range(len(sched) - 1, -1, -1))
             for si in order:
                 keys = tuple(sorted(sched[si]))
                 if not keys:
@@ -1638,11 +1672,10 @@ class SuperscanCholesky:
 
         def run_many(xpads):                     # (k, n+1) jnp
             for direction in ("solvef", "solveb"):
-                order = (range(len(plan.segments))
+                order = (range(len(sched))
                          if direction == "solvef"
-                         else range(len(plan.segments) - 1, -1, -1))
+                         else range(len(sched) - 1, -1, -1))
                 for si in order:
-                    seg = plan.segments[si]
                     keys = tuple(sorted(sched[si]))
                     if not keys:
                         continue

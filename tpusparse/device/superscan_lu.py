@@ -624,7 +624,7 @@ class SuperscanLU:
         xpad = jnp.asarray(xpad)
         jobs = []
         for direction in ("lusolvef", "lusolveb"):
-            for si in range(len(plan.segments)):
+            for si in range(len(sched)):
                 keys = tuple(sorted(sched[si]))
                 if not keys:
                     continue
@@ -638,8 +638,8 @@ class SuperscanLU:
         compile_many(_JIT_CACHE, jobs)
         for direction in ("lusolvef", "lusolveb"):
             back = direction == "lusolveb"
-            order = (range(len(plan.segments)) if not back
-                     else range(len(plan.segments) - 1, -1, -1))
+            order = (range(len(sched)) if not back
+                     else range(len(sched) - 1, -1, -1))
             for si in order:
                 keys = tuple(sorted(sched[si]))
                 if not keys:
@@ -703,8 +703,8 @@ class SuperscanLU:
         def run_many(xpads):                     # (k, n+1) jnp
             for direction in ("vlusolvef", "vlusolveb"):
                 back = direction == "vlusolveb"
-                order = (range(len(plan.segments)) if not back
-                         else range(len(plan.segments) - 1, -1, -1))
+                order = (range(len(sched)) if not back
+                         else range(len(sched) - 1, -1, -1))
                 for si in order:
                     keys = tuple(sorted(sched[si]))
                     if not keys:

@@ -399,8 +399,8 @@ def sharded_superscan_solve(F, mesh: Mesh, axis: str = "d") -> Callable:
     def run(xpad):
         for direction in ("shsolvef", "shsolveb"):
             back = direction == "shsolveb"
-            order = (range(len(plan.segments)) if not back
-                     else range(len(plan.segments) - 1, -1, -1))
+            order = (range(len(seg_dev)) if not back
+                     else range(len(seg_dev) - 1, -1, -1))
             for si in order:
                 keys = tuple(sorted(seg_dev[si]))
                 if not keys:
