@@ -27,3 +27,34 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# Per-module compiled-program cleanup.  XLA:CPU JIT code pins mmap
+# regions; the engines' module-level program caches (_JIT_CACHE etc.)
+# keep every compiled executable alive for the whole pytest process, and
+# the full suite approaches vm.max_map_count (65530) — observed as
+# deterministic SIGSEGV inside backend_compile_and_load late in the
+# suite.  Dropping the caches (and jax's own) between test modules
+# bounds the live-executable set.
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_programs():
+    yield
+    from tpusparse.device import chol_tpu, superscan, superscan_lu
+    superscan._JIT_CACHE.clear()
+    superscan.SuperscanCholesky._UD_JIT.clear()
+    superscan_lu._JIT_CACHE.clear()
+    chol_tpu._SCAN_CACHE.clear()
+    chol_tpu.TpuCholesky._UD_JIT.clear()
+    for kmod in ("chol_tile", "dia_spmv", "trsm_tile", "sell_spmv"):
+        try:
+            import importlib
+            m = importlib.import_module(
+                f"tpusparse.device.kernels.{kmod}")
+            for attr in dir(m):
+                f = getattr(m, attr)
+                if hasattr(f, "cache_clear"):
+                    f.cache_clear()
+        except Exception:
+            pass
+    jax.clear_caches()
