@@ -4,6 +4,8 @@ from .sharded import (ShardedSpmv, sharded_chol_factor,
                       sharded_supernodal_solve,
                       sharded_superscan_factor,
                       sharded_superscan_solve,
+                      sharded_superscan_lu_factor,
+                      sharded_superscan_lu_solve,
                       superscan_comm_metrics,
                       supernodal_comm_metrics, sharded_cg)
 
@@ -11,5 +13,6 @@ __all__ = ["make_mesh", "P", "NamedSharding", "ShardedSpmv",
            "sharded_chol_factor", "sharded_supernodal_factor",
            "sharded_supernodal_solve", "supernodal_comm_metrics",
            "sharded_superscan_factor", "sharded_superscan_solve",
+           "sharded_superscan_lu_factor", "sharded_superscan_lu_solve",
            "superscan_comm_metrics",
            "sharded_cg"]

@@ -33,6 +33,7 @@ from ..device.formats import to_ell
 __all__ = ["ShardedSpmv", "sharded_chol_factor",
            "sharded_supernodal_factor", "sharded_supernodal_solve",
            "sharded_superscan_factor", "sharded_superscan_solve",
+           "sharded_superscan_lu_factor", "sharded_superscan_lu_solve",
            "superscan_comm_metrics", "supernodal_comm_metrics",
            "sharded_cg"]
 
@@ -425,12 +426,150 @@ def sharded_superscan_solve(F, mesh: Mesh, axis: str = "d") -> Callable:
     return solve_f32
 
 
-def superscan_comm_metrics(plan, n_devices: int) -> dict:
+def sharded_superscan_lu_factor(F, mesh: Mesh, axis: str = "d") -> Callable:
+    """Multi-chip factorization for the sparse LU engine (superscan_lu):
+    every segment's update-unit batches sharded over the mesh on the
+    unit axis — BOTH the L-side and U-side GEMMs of each unit split
+    (the schedule drives mirrored pools).  Returns factor() -> pools;
+    assign to F.pools and use F's device-resident solves as usual."""
+    import jax.numpy as jnp2
+
+    from ..device.superscan_lu import _JIT_CACHE, _segment_factor_lu
+    from ..device.superscan import _pools_sig
+    plan = F.plan
+    nd = mesh.devices.size
+    batch_sh = NamedSharding(mesh, P(axis))
+
+    def shard_fn(xv):
+        if xv.shape[0] % nd == 0 and xv.shape[0] >= nd:
+            return jax.lax.with_sharding_constraint(xv, batch_sh)
+        return xv
+
+    seg_xs = []
+    for seg in plan.segments:
+        xs = {}
+        for k, d in seg.xs.items():
+            if k[0] in ("upd", "upds"):
+                first = next(iter(d.values()))
+                padu = (-first.shape[1]) % nd
+                xs[k] = {nm: np.pad(a, ((0, 0), (0, padu), (0, 0)),
+                                    constant_values=(0 if nm == "cmap"
+                                                     else -1))
+                         for nm, a in d.items()}
+            else:
+                xs[k] = d
+        seg_xs.append(xs)
+
+    def factor():
+        pools = {}
+        for pw in plan.pool_init:
+            pools[("L", pw)] = jnp2.asarray(F._Lp0[pw])
+            pools[("U", pw)] = jnp2.asarray(F._Up0[pw])
+        eps = jnp2.float32(1e-8 * F._maxabs)
+        for xs in seg_xs:
+            if not xs:
+                continue
+            keys = tuple(sorted(xs))
+            sig = ("shlufactor", nd, mesh.axis_names, F.tol,
+                   _pools_sig(pools)) + tuple(
+                (k,) + tuple(a.shape) for k in keys
+                for a in xs[k].values())
+            if sig not in _JIT_CACHE:
+                _JIT_CACHE[sig] = jax.jit(_segment_factor_lu(
+                    keys, F.tol, shard_fn=shard_fn))
+            xsd = {k: {nm: jnp2.asarray(a) for nm, a in xs[k].items()}
+                   for k in keys}
+            pools = _JIT_CACHE[sig](pools, xsd, eps)
+        return pools
+
+    return factor
+
+
+def sharded_superscan_lu_solve(F, mesh: Mesh, axis: str = "d") -> Callable:
+    """Device-resident LU forward/backward solve with the per-step trsm
+    batches sharded over the mesh — the LU twin of
+    sharded_superscan_solve (reference contract: cs_lusol.c
+    factor-once/solve-many).  ``F`` is a factored SuperscanLU; returns
+    solve_f32(b) -> x (one f32 pass — wrap in device.refine for f64
+    grade)."""
+    from ..core.perm import ipvec, pvec
+    from ..device.superscan import _pools_sig, _solve_xs
+    from ..device.superscan_lu import _JIT_CACHE, _segment_solve_lu
+    plan = F.plan
+    nd = mesh.devices.size
+    batch_sh = NamedSharding(mesh, P(axis))
+
+    def shard_fn(Y):
+        if Y.shape[0] % nd == 0 and Y.shape[0] >= nd:
+            return jax.lax.with_sharding_constraint(Y, batch_sh)
+        return Y
+
+    n = plan.n
+    sched = _solve_xs(plan)
+    seg_dev = []
+    for seg in sched:
+        xs = {}
+        for k, d in seg.items():
+            if k[0] == "trsm":
+                U = d["rows"].shape[1]
+                padu = (-U) % nd
+                # pad slots gather pool row 0 but carry tgt/cols = n,
+                # so their contribution is masked to zero
+                xs[k] = {
+                    "rows": np.pad(d["rows"], ((0, 0), (0, padu),
+                                               (0, 0))),
+                    "cols": np.pad(d["cols"], ((0, 0), (0, padu),
+                                               (0, 0)),
+                                   constant_values=n),
+                    "tgt": np.pad(d["tgt"], ((0, 0), (0, padu),
+                                             (0, 0)),
+                                  constant_values=n)}
+            else:
+                xs[k] = d
+        seg_dev.append({k: {nm: jnp.asarray(a)
+                            for nm, a in xs[k].items()}
+                        for k in sorted(xs)})
+
+    def run(xpad):
+        for direction in ("shlusolvef", "shlusolveb"):
+            back = direction == "shlusolveb"
+            order = (range(len(seg_dev)) if not back
+                     else range(len(seg_dev) - 1, -1, -1))
+            for si in order:
+                keys = tuple(sorted(seg_dev[si]))
+                if not keys:
+                    continue
+                sig = (direction, nd, mesh.axis_names,
+                       _pools_sig(F.pools), xpad.shape) + tuple(
+                    (k,) + tuple(a.shape) for k in keys
+                    for a in seg_dev[si][k].values())
+                if sig not in _JIT_CACHE:
+                    _JIT_CACHE[sig] = jax.jit(_segment_solve_lu(
+                        keys, back, shard_fn=shard_fn))
+                xpad = _JIT_CACHE[sig](F.pools, xpad, seg_dev[si])
+        return xpad
+
+    def solve_f32(b):
+        b = np.asarray(b, np.float64)
+        if F._match_p is not None:
+            b = b[F._match_p]
+        bp = pvec(plan.perm, b)
+        xpad = np.zeros(n + 1, dtype=np.float32)
+        xpad[:n] = bp
+        out = run(jnp.asarray(xpad))
+        return ipvec(plan.perm, np.asarray(out, np.float64)[:n])
+
+    return solve_f32
+
+
+def superscan_comm_metrics(plan, n_devices: int, lu: bool = False) -> dict:
     """Structural ICI model for the sharded superscan factor AND solve:
     phases whose batches shard (U >= mesh after padding) all-reduce
     their scatter-add deltas — factor bytes = 4 * steps * U * H *
-    pool_width per update phase; solve bytes = 4 * steps * U * (H + W)
-    per trsm phase (forward od-delta + backward col-delta)."""
+    pool_width per update phase (x2 for lu=True: the dL and dU deltas
+    of the mirrored pools each all-reduce); solve bytes = 4 * steps *
+    U * (H + W) per trsm phase (forward od-delta + backward
+    col-delta, same volume for chol and LU)."""
     nd = max(int(n_devices), 1)
     comm_f = 0
     comm_s = 0
@@ -443,7 +582,8 @@ def superscan_comm_metrics(plan, n_devices: int) -> dict:
                 H = d["src"].shape[2]
                 pw = k[2]
                 if U + ((-U) % nd) >= nd and U >= 1:
-                    comm_f += 4 * steps * (U + ((-U) % nd)) * H * pw
+                    comm_f += (2 if lu else 1) * \
+                        4 * steps * (U + ((-U) % nd)) * H * pw
             elif k[0] == "trsm":
                 _, pw, H, W = k
                 U = d["rows"].shape[1]
