@@ -28,7 +28,8 @@ from jax import lax
 from .config import HIGHEST
 
 __all__ = ["blocked_lu", "lu_solve", "blocked_qr", "qr_apply_qt",
-           "qr_apply_q", "qr_solve_r", "qr_solve_rt"]
+           "qr_apply_q", "qr_solve_r", "qr_solve_rt",
+           "qr_factor_partial", "qr_qt_mul_batched", "qr_q_mul_batched"]
 
 
 # -------------------------------------------------------------------- LU
@@ -204,6 +205,128 @@ def qr_apply_q(VR, taus, b, bs: int):
         b = b - jnp.matmul(V, jnp.matmul(T, w, precision=HIGHEST),
                            precision=HIGHEST)
     return b
+
+
+# ------------------------------------------------- batched / partial QR
+# Building blocks for the multifrontal sparse QR engine
+# (tpusparse.device.mfqr): each front is a padded (R, C) matrix and a
+# level's fronts of one bucket shape factor as ONE vmapped program.
+# ``kelim`` (static, a multiple of bs) is the number of columns
+# eliminated — min(R, C) for a full front QR — so wide fronts (R < C)
+# never pad rows up to C.  Zero-padded rows/columns produce tau = 0
+# reflectors (identity), keeping Q exact on the real subspace.
+
+def _panel_starts(kelim: int, bs: int):
+    """(k0, width) pairs covering [0, kelim) — the last panel may be
+    narrower than bs (bucket sizes are multiples of 4, not of bs)."""
+    out = []
+    k0 = 0
+    while k0 < kelim:
+        out.append((k0, min(bs, kelim - k0)))
+        k0 += min(bs, kelim - k0)
+    return out
+
+
+def qr_factor_partial(M, taus, bs: int, kelim: int):
+    """Traceable (vmap-friendly) blocked Householder QR of one padded
+    front, eliminating the first ``kelim`` columns.  Same storage
+    convention as :func:`blocked_qr` (V below the diagonal, R on/above,
+    LAPACK larfg taus)."""
+    m, n = M.shape
+    ridx = jnp.arange(m)
+    for k0, pb in _panel_starts(kelim, bs):
+
+        def col_step(j, carry, k0=k0, bs=pb):
+            M, taus = carry
+            c = k0 + j
+            col = jnp.where(ridx >= c, M[:, c], 0.0)
+            normx = jnp.sqrt(jnp.sum(col * col))
+            x0 = M[c, c]
+            sgn = jnp.where(x0 >= 0, 1.0, -1.0)
+            alpha = -sgn * normx
+            denom = x0 - alpha
+            safe = jnp.where(denom == 0, 1.0, denom)
+            v = jnp.where(ridx > c, col / safe, 0.0)
+            v = v.at[c].set(1.0)
+            tau = jnp.where(
+                normx == 0.0, 0.0, (alpha - x0) / jnp.where(alpha == 0,
+                                                            1.0, alpha))
+            taus = taus.at[c].set(tau)
+            panel = M[:, k0:k0 + bs]
+            w = jnp.matmul(v[None, :], panel, precision=HIGHEST)[0]
+            colmask = jnp.arange(bs) >= j
+            upd = jnp.outer(tau * v, jnp.where(colmask, w, 0.0))
+            M = M.at[:, k0:k0 + bs].add(-upd)
+            newcol = jnp.where(ridx > c, v, M[:, c])
+            M = M.at[:, c].set(newcol)
+            return M, taus
+
+        M, taus = lax.fori_loop(0, pb, lambda j, cy: col_step(j, cy),
+                                (M, taus))
+        if k0 + pb < n:
+            V = _panel_v(M, k0, pb, m)
+            T = _form_t(V, taus[k0:k0 + pb])
+            rest = M[:, k0 + pb:]
+            W = jnp.matmul(V.T, rest, precision=HIGHEST)
+            rest = rest - jnp.matmul(
+                V, jnp.matmul(T.T, W, precision=HIGHEST), precision=HIGHEST)
+            M = M.at[:, k0 + pb:].set(rest)
+    return M, taus
+
+
+def _panel_v_batched(VR, k0: int, bs: int):
+    """(P, m, bs) unit-lower V of panel k0 from a batch of factors."""
+    m = VR.shape[1]
+    ridx = jnp.arange(m)[:, None]
+    cidx = k0 + jnp.arange(bs)[None, :]
+    panel = VR[:, :, k0:k0 + bs]
+    V = jnp.where(ridx > cidx, panel, 0.0)
+    return V + (ridx == cidx).astype(VR.dtype)
+
+
+def _form_t_batched(V, taus):
+    """Batched compact-WY T (P, bs, bs) from V (P, m, bs), taus (P, bs)."""
+    P, _, bs = V.shape
+    VtV = jnp.einsum("pmi,pmj->pij", V, V, precision=HIGHEST)
+
+    def step(j, T):
+        col = -taus[:, j][:, None] * jnp.einsum(
+            "pij,pj->pi", T, VtV[:, :, j], precision=HIGHEST)
+        col = jnp.where(jnp.arange(bs)[None, :] < j, col, 0.0)
+        col = col.at[:, j].set(taus[:, j])
+        return T.at[:, :, j].set(col)
+
+    return lax.fori_loop(0, bs, step,
+                         jnp.zeros((P, bs, bs), V.dtype))
+
+
+def qr_qt_mul_batched(VR, taus, z, bs: int, kelim: int):
+    """z <- Q' z for a batch of factored fronts: VR (P, m, n),
+    taus (P, n), z (P, m).  Forward panel order."""
+    for k0, pb in _panel_starts(kelim, bs):
+        V = _panel_v_batched(VR, k0, pb)
+        T = _form_t_batched(V, taus[:, k0:k0 + pb])
+        w = jnp.einsum("pmi,pm->pi", V, z, precision=HIGHEST)
+        # Q_panel = I - V T V'  =>  Q' needs T'w: einsum ji contracts
+        # the first index of T (transpose)
+        z = z - jnp.einsum("pmi,pi->pm", V,
+                           jnp.einsum("pji,pj->pi", T, w,
+                                      precision=HIGHEST),
+                           precision=HIGHEST)
+    return z
+
+
+def qr_q_mul_batched(VR, taus, z, bs: int, kelim: int):
+    """z <- Q z for a batch of factored fronts (reverse panel order)."""
+    for k0, pb in reversed(_panel_starts(kelim, bs)):
+        V = _panel_v_batched(VR, k0, pb)
+        T = _form_t_batched(V, taus[:, k0:k0 + pb])
+        w = jnp.einsum("pmi,pm->pi", V, z, precision=HIGHEST)
+        z = z - jnp.einsum("pmi,pi->pm", V,
+                           jnp.einsum("pij,pj->pi", T, w,
+                                      precision=HIGHEST),
+                           precision=HIGHEST)
+    return z
 
 
 @jax.jit

