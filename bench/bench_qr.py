@@ -1,11 +1,16 @@
 #!/usr/bin/env python
 """QR (sparse least squares) benchmark (VERDICT r1 "What's missing" #5):
-Q-less supernodal QR on a large sparse regularized-Poisson LS problem
-A = [L; alpha*I] (m = 2n) — no m x n densification.  Prints ONE JSON
-line with the R-factor GFLOP/s and the normal-equation residual.
+sparse QR on a large regularized-Poisson LS problem A = [L; alpha*I]
+(m = 2n) — no m x n densification.  Prints ONE JSON line.
 
-Env: TPUSPARSE_BENCH_QR_N (default 65536), TPUSPARSE_BENCH_CPU=1,
-TPUSPARSE_BENCH_SEGMENTS (default 16).
+Engines (TPUSPARSE_BENCH_QR_ENGINE):
+  csne (default) — Q-less supernodal QR (R = superscan chol of A'A),
+  mfqr           — multifrontal Householder QR (TRUE device-resident Q;
+                   dispatches shape-cached kernels, concurrently
+                   prewarmed via device.compilepool on the relay).
+
+Env: TPUSPARSE_BENCH_QR_N (default 65536; mfqr default 1024),
+TPUSPARSE_BENCH_CPU=1, TPUSPARSE_BENCH_SEGMENTS (default 16).
 """
 
 import json
@@ -21,6 +26,89 @@ sys.path.insert(0, os.path.join(os.path.dirname(
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def run_mfqr(A, jax):
+    """Multifrontal Householder QR leg: true-Q factor + LS solve, all
+    device-resident; reports true/padded flops and both residuals."""
+    import numpy as np
+
+    from tpusparse.core.ops import gaxpy, norm1
+    from tpusparse.device.mfqr import MultifrontalQR, _K_CACHE
+
+    t0 = time.perf_counter()
+    F = MultifrontalQR(A)
+    t_plan = time.perf_counter() - t0
+    plan = F.plan
+    log(f"plan {t_plan:.1f}s: fronts={len(plan.fronts)} "
+        f"levels={plan.nlevels} buckets={len(plan.buckets)} "
+        f"flops_true={plan.flops_true/1e9:.3f}G "
+        f"padded={plan.flops_padded/1e9:.3f}G "
+        f"waste={plan.waste_ratio:.3f}")
+    t0 = time.perf_counter()
+    nprog = F.prewarm()
+    t_warm = time.perf_counter() - t0
+    log(f"prewarm: {nprog} distinct programs in {t_warm:.1f}s "
+        f"({len(_K_CACHE)} cached)")
+    t0 = time.perf_counter()
+    ok = F.factor()
+    t_first = time.perf_counter() - t0
+    assert ok, "rank_ok"
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        F.factor()
+        ts.append(time.perf_counter() - t0)
+    t_dev = min(ts)
+    gf_true = plan.flops_true / t_dev / 1e9
+    log(f"factor: first {t_first:.1f}s, warm {t_dev*1e3:.1f} ms -> "
+        f"{gf_true:.1f} GF/s true, "
+        f"{plan.flops_padded/t_dev/1e9:.1f} GF/s issued")
+
+    b = 1.0 + np.arange(A.m) / A.m
+    t0 = time.perf_counter()
+    x = F.solve_ls(b)
+    t_solve = time.perf_counter() - t0
+    r = gaxpy(A, x, -np.asarray(b, np.float64))
+    nr = gaxpy(F.At, r, np.zeros(A.n))
+    nrmA = norm1(A)
+    rel = np.abs(nr).max() / (nrmA * nrmA * np.abs(x).max()
+                              + np.abs(nr).max() + 1e-300)
+    # exact-Q sanity: roundtrip Q(Q'b) = b at f32 grade
+    y = F.apply_qt(b)
+    rt = np.abs(F.apply_q(y) - b).max() / np.abs(b).max()
+    log(f"device-resident exact-Q LS solve {t_solve:.1f}s "
+        f"({F.last_info}), normal-eq residual {rel:.2e}, "
+        f"Q roundtrip {rt:.2e}")
+
+    print(json.dumps({
+        "metric": "mfqr_relay_clock_gflops",
+        "value": round(gf_true, 2),
+        "unit": "GFLOP/s(relay-clock,f32,true-flops)",
+        "value_semantics": "relay_clock",
+        "vs_baseline": None,
+        "m": A.m,
+        "n": A.n,
+        "nnz": A.nnz,
+        "rnz": int(plan.rnz),
+        "vnz": int(plan.vnz),
+        "fronts": len(plan.fronts),
+        "levels": plan.nlevels,
+        "buckets": len(plan.buckets),
+        "programs": nprog,
+        "t_prewarm_s": round(t_warm, 1),
+        "t_factor_first_s": round(t_first, 2),
+        "t_device_s": round(t_dev, 6),
+        "flops_true": plan.flops_true,
+        "flops_padded": plan.flops_padded,
+        "waste_ratio": round(plan.waste_ratio, 4),
+        "normal_eq_residual": float(f"{rel:.3e}"),
+        "q_roundtrip_f32": float(f"{rt:.3e}"),
+        "solve_device_resident": True,
+        "t_solve_s": round(t_solve, 2),
+        "solve_info": F.last_info,
+        "backend": jax.default_backend(),
+    }))
 
 
 def main():
@@ -44,7 +132,9 @@ def main():
     from tpusparse.device.qr_tpu import SparseQR
     from tpusparse.device.superscan import _JIT_CACHE
 
-    n = int(os.environ.get("TPUSPARSE_BENCH_QR_N", "65536"))
+    engine = os.environ.get("TPUSPARSE_BENCH_QR_ENGINE", "csne")
+    default_n = "1024" if engine == "mfqr" else "65536"
+    n = int(os.environ.get("TPUSPARSE_BENCH_QR_N", default_n))
     g = int(round(n ** 0.5))
     n = g * g
     segs = int(os.environ.get("TPUSPARSE_BENCH_SEGMENTS", "16"))
@@ -58,7 +148,10 @@ def main():
     S.sort_indices()
     A = CSCMatrix(2 * n, n, S.indptr, S.indices, S.data)
     log(f"qr bench: regularized Poisson LS m={A.m} n={A.n} nnz={A.nnz}, "
-        f"backend={jax.default_backend()}")
+        f"engine={engine}, backend={jax.default_backend()}")
+
+    if engine == "mfqr":
+        return run_mfqr(A, jax)
 
     t0 = time.perf_counter()
     F = SparseQR(A, max_segments=segs)

@@ -40,7 +40,8 @@ def rng():
 @pytest.fixture(autouse=True, scope="module")
 def _release_compiled_programs():
     yield
-    from tpusparse.device import chol_tpu, superscan, superscan_lu
+    from tpusparse.device import chol_tpu, mfqr, superscan, superscan_lu
+    mfqr._K_CACHE.clear()
     superscan._JIT_CACHE.clear()
     superscan.SuperscanCholesky._UD_JIT.clear()
     superscan_lu._JIT_CACHE.clear()

@@ -264,6 +264,54 @@ def test_sharded_superscan_lu_pivoted(rng):
     assert resid(d, x, b) < 1e-12
 
 
+def test_sharded_mfqr_matches_single_chip(rng):
+    """Sharded multifrontal QR: factor + one-pass LS solve on the mesh
+    reproduce the single-chip engine's refined solution, and the comm
+    model reports nonzero bytes once batches exceed the mesh."""
+    from tpusparse.device.mfqr import MultifrontalQR
+    from tpusparse.parallel import (mfqr_comm_metrics,
+                                    sharded_mfqr_factor,
+                                    sharded_mfqr_solve)
+    import scipy.sparse as sp
+
+    from tpusparse.core import CSCMatrix
+    mesh = make_mesh(4)
+    g = 16                       # 2D-grid LS: many independent leaf
+    n = g * g                    # fronts, so batches exceed the mesh
+    m = 2 * n
+    main = 4.0 * np.ones(n)
+    ex = -np.ones(n - 1)
+    ex[np.arange(1, n) % g == 0] = 0.0
+    ey = -np.ones(n - g)
+    L = sp.diags([main, ex, ex, ey, ey], [0, 1, -1, g, -g], format="csc")
+    S = sp.vstack([L, 0.5 * sp.eye(n)], format="csc")
+    S.sort_indices()
+    A = CSCMatrix(m, n, S.indptr, S.indices, S.data)
+    d = S.toarray()
+    F0 = MultifrontalQR(A)
+    assert F0.factor()
+    xstar = rng.normal(size=n)
+    b = d @ xstar
+    x_ref = F0.solve_ls(b)
+
+    F = MultifrontalQR(A)
+    pools0 = {bk: jnp.asarray(v) for bk, v in F.plan.pool_init.items()}
+    taus0 = {bk: jnp.zeros((F.plan.bucket_count[bk], bk[1]),
+                           jnp.float32) for bk in F.plan.buckets}
+    factor = jax.jit(sharded_mfqr_factor(F, mesh))
+    F.pools, F.taus = factor(pools0, taus0)
+    F.rank_ok = True
+    solve_f32 = sharded_mfqr_solve(F, mesh)
+    x = np.zeros(n)
+    for _ in range(4):
+        x = x + solve_f32(b - d @ x)
+    assert np.abs(x - xstar).max() < 1e-10
+    assert np.abs(x - x_ref).max() < 1e-9
+    cm = mfqr_comm_metrics(F.plan, 4)
+    assert cm["comm_bytes_factor"] > 0
+    assert cm["comm_bytes_solve"] > 0
+
+
 def test_graft_dryrun_contract():
     """The driver's multichip dryrun must keep passing (tight refined
     asserts + nonzero comm).  Run in a SUBPROCESS exactly like the

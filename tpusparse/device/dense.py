@@ -329,6 +329,133 @@ def qr_q_mul_batched(VR, taus, z, bs: int, kelim: int):
     return z
 
 
+# ---------------------------------------------- scan-form front QR
+# The unrolled panel loops above trace O(kelim/bs) panel bodies into
+# the HLO — fine for one dense matrix, prohibitive when a multifrontal
+# plan jits tens of buckets x levels.  The scan forms below roll the
+# panel loop into ONE lax.scan body with a dynamic panel start:
+# reflector columns beyond kelim get tau = 0 (identity), and the
+# trailing WY update applies full-width under a >= k0+bs column mask,
+# so partial last panels need no special casing.  ~2x the update flops
+# of the triangular-narrowed version, O(1) HLO per bucket.
+
+def _gather_panel(M, k0, bs: int):
+    """(m, bs) columns [k0, k0+bs) of M via gather (dynamic k0),
+    zero-masked beyond the real width."""
+    ncol = M.shape[-1]
+    cols = jnp.clip(k0 + jnp.arange(bs), 0, ncol - 1)
+    panel = M[:, cols]
+    return panel * (k0 + jnp.arange(bs) < ncol)[None, :].astype(M.dtype)
+
+
+def qr_factor_scan(M, taus, bs: int, kelim: int):
+    """Scan-form equivalent of :func:`qr_factor_partial` (same outputs
+    bit-for-bit up to float reassociation)."""
+    m, n = M.shape
+    ridx = jnp.arange(m)
+    nb = -(-kelim // bs)
+
+    def panel_step(carry, p):
+        M, taus = carry
+        k0 = p * bs
+
+        def col_step(j, cy):
+            M, taus = cy
+            c = k0 + j
+            valid = c < kelim
+            col = jnp.where(ridx >= c, M[:, c], 0.0)
+            normx = jnp.sqrt(jnp.sum(col * col))
+            x0 = M[jnp.minimum(c, m - 1), c]
+            sgn = jnp.where(x0 >= 0, 1.0, -1.0)
+            alpha = -sgn * normx
+            denom = x0 - alpha
+            safe = jnp.where(denom == 0, 1.0, denom)
+            v = jnp.where(ridx > c, col / safe, 0.0)
+            v = v.at[jnp.minimum(c, m - 1)].set(
+                jnp.where(c < m, 1.0, v[jnp.minimum(c, m - 1)]))
+            tau = jnp.where(
+                normx == 0.0, 0.0, (alpha - x0) / jnp.where(alpha == 0,
+                                                            1.0, alpha))
+            tau = jnp.where(valid, tau, 0.0)
+            taus = taus.at[c].set(tau)          # OOB scatter dropped
+            panel = _gather_panel(M, k0, bs)
+            w = jnp.matmul(v[None, :], panel, precision=HIGHEST)[0]
+            colmask = jnp.arange(bs) >= j
+            upd = jnp.outer(tau * v, jnp.where(colmask, w, 0.0))
+            cols = k0 + jnp.arange(bs)
+            M = M.at[:, cols].add(-upd, mode="drop")
+            newcol = jnp.where(valid & (ridx > c), v, M[:, c])
+            M = M.at[:, c].set(newcol, mode="drop")
+            return M, taus
+
+        M, taus = lax.fori_loop(0, bs, col_step, (M, taus))
+        # trailing WY update, full width, masked to cols >= k0 + bs
+        panel = _gather_panel(M, k0, bs)
+        cidx = k0 + jnp.arange(bs)[None, :]
+        V = jnp.where(ridx[:, None] > cidx, panel, 0.0)
+        V = V + ((ridx[:, None] == cidx) & (cidx < kelim)).astype(M.dtype)
+        tslice = taus[jnp.clip(cidx[0], 0, n - 1)] * (cidx[0] < n)
+        T = _form_t(V, tslice)
+        W = jnp.matmul(V.T, M, precision=HIGHEST)
+        upd = jnp.matmul(V, jnp.matmul(T.T, W, precision=HIGHEST),
+                         precision=HIGHEST)
+        mask = (jnp.arange(n)[None, :] >= k0 + bs).astype(M.dtype)
+        M = M - upd * mask
+        return (M, taus), None
+
+    (M, taus), _ = lax.scan(panel_step, (M, taus), jnp.arange(nb))
+    return M, taus
+
+
+def _scan_panel_vt(VR, taus, k0, bs: int, kelim: int):
+    """Batched (P, m, bs) V and (P, bs) tau of the panel at dynamic k0."""
+    P, m, n = VR.shape
+    ridx = jnp.arange(m)[None, :, None]
+    cidx = (k0 + jnp.arange(bs))[None, None, :]
+    cols = jnp.clip(k0 + jnp.arange(bs), 0, n - 1)
+    panel = VR[:, :, cols] * (k0 + jnp.arange(bs) < n)[None, None, :]
+    V = jnp.where(ridx > cidx, panel, 0.0)
+    V = V + ((ridx == cidx) & (cidx < kelim)).astype(VR.dtype)
+    t = taus[:, cols] * (k0 + jnp.arange(bs) < n)[None, :]
+    return V, t
+
+
+def qr_qt_mul_scan(VR, taus, z, bs: int, kelim: int):
+    """Scan-form of :func:`qr_qt_mul_batched`."""
+    nb = -(-kelim // bs)
+
+    def step(z, p):
+        V, t = _scan_panel_vt(VR, taus, p * bs, bs, kelim)
+        T = _form_t_batched(V, t)
+        w = jnp.einsum("pmi,pm->pi", V, z, precision=HIGHEST)
+        z = z - jnp.einsum("pmi,pi->pm", V,
+                           jnp.einsum("pji,pj->pi", T, w,
+                                      precision=HIGHEST),
+                           precision=HIGHEST)
+        return z, None
+
+    z, _ = lax.scan(step, z, jnp.arange(nb))
+    return z
+
+
+def qr_q_mul_scan(VR, taus, z, bs: int, kelim: int):
+    """Scan-form of :func:`qr_q_mul_batched` (reverse panel order)."""
+    nb = -(-kelim // bs)
+
+    def step(z, p):
+        V, t = _scan_panel_vt(VR, taus, p * bs, bs, kelim)
+        T = _form_t_batched(V, t)
+        w = jnp.einsum("pmi,pm->pi", V, z, precision=HIGHEST)
+        z = z - jnp.einsum("pmi,pi->pm", V,
+                           jnp.einsum("pij,pj->pi", T, w,
+                                      precision=HIGHEST),
+                           precision=HIGHEST)
+        return z, None
+
+    z, _ = lax.scan(step, z, jnp.arange(nb), reverse=True)
+    return z
+
+
 @jax.jit
 def qr_solve_r(VR, y, n: int = None):
     """x = R \\ y[:ncols] on the padded factor."""

@@ -58,12 +58,37 @@ from ..core.ops import gaxpy, norm1, permute, transpose
 from ..symbolic.amd import amd
 from ..symbolic.etree import counts, etree, post
 from .config import HIGHEST
-from .dense import qr_factor_partial, qr_q_mul_batched, qr_qt_mul_batched
+from .dense import (qr_factor_partial, qr_factor_scan, qr_q_mul_batched,
+                    qr_q_mul_scan, qr_qt_mul_batched, qr_qt_mul_scan)
 
 __all__ = ["MfqrPlan", "plan_mfqr", "MultifrontalQR"]
 
 _IDX = np.int64
 _BS = 8          # Householder panel width inside front QR
+_SCAN_PANELS = 4  # roll the panel loop into lax.scan above this many
+                  # panels (bounds HLO size per bucket; see dense.py)
+
+
+def _use_scan(kelim: int) -> bool:
+    return -(-kelim // _BS) > _SCAN_PANELS
+
+
+def _front_qr(M, t, kelim: int):
+    if _use_scan(kelim):
+        return qr_factor_scan(M, t, _BS, kelim)
+    return qr_factor_partial(M, t, _BS, kelim)
+
+
+def _front_qt(VR, taus, z, kelim: int):
+    if _use_scan(kelim):
+        return qr_qt_mul_scan(VR, taus, z, _BS, kelim)
+    return qr_qt_mul_batched(VR, taus, z, _BS, kelim)
+
+
+def _front_q(VR, taus, z, kelim: int):
+    if _use_scan(kelim):
+        return qr_q_mul_scan(VR, taus, z, _BS, kelim)
+    return qr_q_mul_batched(VR, taus, z, _BS, kelim)
 
 
 def _ground(x: int) -> int:
@@ -94,7 +119,7 @@ class _Front:
     kstar: int = 0              # min(nrow_eff, ncol) — eliminated cols
     cr: int = 0                 # contribution rows = kstar - w
     level: int = 0
-    bucket: Tuple[int, int, int] = None
+    bucket: Tuple[int, int] = None
     slot: int = 0
     comp_off: int = 0
     children: List[int] = field(default_factory=list)
@@ -113,14 +138,14 @@ class MfqrPlan:
     fronts: List[_Front]
     col2sn: np.ndarray
     nlevels: int
-    buckets: List[Tuple[int, int, int]]
-    bucket_count: Dict[Tuple[int, int, int], int]
-    pool_init: Dict[Tuple[int, int, int], np.ndarray]
+    buckets: List[Tuple[int, int]]
+    bucket_count: Dict[Tuple[int, int], int]
+    pool_init: Dict[Tuple[int, int], np.ndarray]
     level_factor: List[Dict]                       # bucket -> slots
     level_assemble: List[Dict]                     # (cb,pb) -> maps
     level_disassemble: List[Dict]                  # same, keyed child lvl
     level_io: List[Dict]                           # bucket -> (slots,bidx,outmap)
-    level_rsolve: List[Dict]                       # bucket -> (slots,colsJ,odidx)
+    level_rsolve: List[Dict]          # bucket -> (slots,colsJ,odidx,wvec)
     pass_rows: np.ndarray
     pass_slots: np.ndarray
     ysize: int
@@ -138,7 +163,19 @@ class MfqrPlan:
 def plan_mfqr(A: CSCMatrix, order: int = 3, wmax: int = 64,
               small_w: int = 8, amalg_tau: float = 0.35) -> MfqrPlan:
     """Host symbolic analysis + front/bucket/level schedule construction
-    (the reference's cs_sqr analysis driving a multifrontal plan)."""
+    (the reference's cs_sqr analysis driving a multifrontal plan).
+    TPUSPARSE_PLAN_TIMING=1 prints per-section timers."""
+    import os as _os
+    import time as _time
+    _timing = _os.environ.get("TPUSPARSE_PLAN_TIMING") == "1"
+    _t = [_time.time()]
+
+    def _tick(label):
+        if _timing:
+            now = _time.time()
+            print(f"plan_mfqr[{label}]: {now - _t[0]:.2f}s", flush=True)
+            _t[0] = now
+
     m, n = A.m, A.n
     if m < n:
         raise ValueError("m >= n required (caller factors A')")
@@ -155,6 +192,7 @@ def plan_mfqr(A: CSCMatrix, order: int = 3, wmax: int = 64,
     parent = etree(Aq, ata=True)
     porder = post(parent)
     cnt = counts(Aq, parent, porder, ata=True)     # R row counts
+    _tick("symbolic")
 
     # 2. supernodes of the column etree -----------------------------------
     starts = [0]
@@ -188,6 +226,7 @@ def plan_mfqr(A: CSCMatrix, order: int = 3, wmax: int = 64,
             sn_ranges.append((off, off + w))
             off += w
 
+    _tick("pre-snodes")
     # 3. row assignment by leftmost column --------------------------------
     AqT = transpose(Aq, values=True)               # CSR view of Aq
     Tp, Ti, Tx = AqT.indptr, AqT.indices, AqT.data
@@ -199,6 +238,7 @@ def plan_mfqr(A: CSCMatrix, order: int = 3, wmax: int = 64,
     for i in nz_rows:
         rows_by_sn[int(col2sn[leftmost[i]])].append(int(i))
 
+    _tick("pre-fronts")
     # 4. recursive front construction (ascending sid = topological) -------
     fronts: List[_Front] = []
     pend_children: Dict[int, List[int]] = defaultdict(list)
@@ -229,6 +269,7 @@ def plan_mfqr(A: CSCMatrix, order: int = 3, wmax: int = 64,
             pend_children[int(col2sn[od[0]])].append(sid)
         fronts.append(f)
 
+    _tick("pre-levels")
     # 5. levels (factor deps via contributions; solve deps via od cols) ---
     nf = len(fronts)
     level = np.zeros(nf, dtype=_IDX)
@@ -240,12 +281,13 @@ def plan_mfqr(A: CSCMatrix, order: int = 3, wmax: int = 64,
     for f in fronts:
         f.level = int(level[f.sid])
 
+    _tick("pre-pools")
     # 6. buckets, slots, pools ---------------------------------------------
-    bucket_count: Dict[Tuple[int, int, int], int] = defaultdict(int)
+    bucket_count: Dict[Tuple[int, int], int] = defaultdict(int)
     for f in fronts:
         Rh = _ground(max(f.nrow_eff, 8))
         Ch = _ground(max(f.ncol, 8))
-        f.bucket = (Rh, Ch, f.w)
+        f.bucket = (Rh, Ch)
         f.slot = bucket_count[f.bucket]
         bucket_count[f.bucket] += 1
     buckets = sorted(bucket_count)
@@ -263,6 +305,7 @@ def plan_mfqr(A: CSCMatrix, order: int = 3, wmax: int = 64,
                 pos = np.searchsorted(f.od, rest)
                 P[f.slot, rs, f.w + pos] = Tx[seg][~piv]
 
+    _tick("pre-coords")
     # 7. complement/output coordinates -------------------------------------
     ncomp = 0
     for f in fronts:
@@ -273,6 +316,7 @@ def plan_mfqr(A: CSCMatrix, order: int = 3, wmax: int = 64,
     ysize = n + ncomp + pass_rows.size
     TRASH = ysize
 
+    _tick("pre-schedules")
     # 8. schedules ----------------------------------------------------------
     level_factor: List[Dict] = [defaultdict(list) for _ in range(nlevels)]
     level_io: List[Dict] = [defaultdict(list) for _ in range(nlevels)]
@@ -282,7 +326,8 @@ def plan_mfqr(A: CSCMatrix, order: int = 3, wmax: int = 64,
     level_disassemble: List[Dict] = [
         defaultdict(lambda: ([], [], [], [])) for _ in range(nlevels)]
     for f in fronts:
-        Rh, Ch, W = f.bucket
+        Rh, Ch = f.bucket
+        WB = min(Rh, Ch, wmax)          # R-solve block width (>= any w)
         level_factor[f.level][f.bucket].append(f.slot)
         bidx = np.full(Rh, -1, _IDX)
         bidx[:len(f.rows_a)] = f.rows_a
@@ -292,24 +337,32 @@ def plan_mfqr(A: CSCMatrix, order: int = 3, wmax: int = 64,
         if ncm > 0:
             outmap[f.kstar:f.nrow_real] = f.comp_off + np.arange(ncm)
         level_io[f.level][f.bucket].append((f.slot, bidx, outmap))
-        colsJ = np.arange(f.c0, f.c0 + W, dtype=_IDX)
-        odidx = np.full(Ch - W, n, _IDX)
-        odidx[:f.od.size] = f.od
-        level_rsolve[f.level][f.bucket].append((f.slot, colsJ, odidx))
+        # R/R'-solve maps: buffer cols [0, WB) form the triangular
+        # block (pivot cols, then leading od cols as identity rows —
+        # the front width w is runtime DATA, not a bucket static);
+        # cols [WB, Ch) are gathered od contributions.
+        colsJ = np.full(WB, n, _IDX)
+        colsJ[:f.w] = np.arange(f.c0, f.c0 + f.w)
+        lead = min(WB - f.w, f.od.size)
+        colsJ[f.w:f.w + lead] = f.od[:lead]
+        odidx = np.full(Ch - WB, n, _IDX)
+        rest = f.od[WB - f.w:] if f.od.size > WB - f.w else f.od[:0]
+        odidx[:rest.size] = rest
+        level_rsolve[f.level][f.bucket].append(
+            (f.slot, colsJ, odidx, f.w))
         # contribution maps child -> parent
         for c in f.children:
             fc = fronts[c]
-            Rhc, Chc, Wc = fc.bucket
             RM = np.full(Rh, -1, _IDX)
             base = f.child_base[c]
-            RM[base:base + fc.cr] = Wc + np.arange(fc.cr)
+            RM[base:base + fc.cr] = fc.w + np.arange(fc.cr)
             CM = np.full(Ch, -1, _IDX)
             gcols = np.concatenate(
                 [np.arange(f.c0, f.c0 + f.w, dtype=_IDX), f.od])
             pos = np.searchsorted(fc.od, gcols)
             ok = (pos < fc.od.size)
             ok[ok] = fc.od[pos[ok]] == gcols[ok]
-            CM[:gcols.size][ok] = Wc + pos[ok]
+            CM[:gcols.size][ok] = fc.w + pos[ok]
             grp = level_assemble[f.level][(fc.bucket, f.bucket)]
             grp[0].append(f.slot)
             grp[1].append(fc.slot)
@@ -353,9 +406,11 @@ def plan_mfqr(A: CSCMatrix, order: int = 3, wmax: int = 64,
             items.sort(key=lambda t: t[0])
             d[b] = (np.asarray([t[0] for t in items], np.int32),
                     np.stack([t[1] for t in items]).astype(np.int32),
-                    np.stack([t[2] for t in items]).astype(np.int32))
+                    np.stack([t[2] for t in items]).astype(np.int32),
+                    np.asarray([t[3] for t in items], np.int32))
         level_rsolve2.append(d)
 
+    _tick("pre-flops")
     # 9. flop accounting -----------------------------------------------------
     ft = fp = 0
     rnz = int(cnt.sum())
@@ -363,11 +418,12 @@ def plan_mfqr(A: CSCMatrix, order: int = 3, wmax: int = 64,
     for f in fronts:
         j = np.arange(f.kstar, dtype=np.float64)
         ft += int(np.sum(4.0 * (f.nrow_real - j) * (f.ncol - j)))
-        Rh, Ch, W = f.bucket
+        Rh, Ch = f.bucket
         ke = min(Rh, Ch)
         jj = np.arange(ke, dtype=np.float64)
         fp += int(np.sum(4.0 * (Rh - jj) * (Ch - jj)))
         vnz += int(np.sum(np.maximum(f.nrow_real - j, 0)))
+    _tick("final")
     return MfqrPlan(
         m=m, n=n, q=q2, fronts=fronts, col2sn=col2sn, nlevels=nlevels,
         buckets=buckets, bucket_count=dict(bucket_count),
@@ -380,201 +436,274 @@ def plan_mfqr(A: CSCMatrix, order: int = 3, wmax: int = 64,
 
 
 # ---------------------------------------------------------------- device
-def _gather_contrib(pools, cb, csl, RM):
-    """(P, Rh_p) 1-D gather of child contribution vector components."""
-    Rhc, Chc, Wc = cb
-    # z-pools are (cnt, Rh_c): flatten and slab-gather
-    flat = pools[cb].reshape(-1)
-    idx = jnp.asarray(csl)[:, None] * Rhc + jnp.maximum(jnp.asarray(RM), 0)
-    vals = flat[idx]
-    return vals * (jnp.asarray(RM) >= 0).astype(vals.dtype)
+# Module-level jitted kernels, cached by SHAPE: one compiled program
+# serves every level with the same bucket/batch geometry, every solve
+# call, and every MultifrontalQR instance in the process (the mega-jit
+# alternative re-traces levels x buckets per instance).  Dispatch batch
+# dimensions are padded to _gbatch sizes; padding conventions:
+#   factor / io kernels : repeat the LAST row (duplicate .set writes
+#                         write identical values — safe),
+#   assembly kernels    : fully-masked dummies (RM/CM = -1 add zero),
+#   r/rt-solve kernels  : trash-slot targets (colsJ = n hits the spare
+#                         slot; zero rhs keeps od updates exactly 0).
+
+import functools
 
 
-def _factor_fn(plan: MfqrPlan):
-    def factor(pools, taus):
-        pools = dict(pools)
-        taus = dict(taus)
+def _gbatch(x: int) -> int:
+    """Round a dispatch batch up to {1,2,3,4,6,8,12,16,24,...}."""
+    p = 1
+    while True:
+        if x <= p:
+            return p
+        if x <= p + (p + 1) // 2:
+            return p + (p + 1) // 2
+        p *= 2
+
+
+def _padrep(a: np.ndarray, P: int) -> np.ndarray:
+    """Pad axis 0 to P by repeating the last row."""
+    if a.shape[0] == P:
+        return a
+    reps = np.repeat(a[-1:], P - a.shape[0], axis=0)
+    return np.concatenate([a, reps], axis=0)
+
+
+_K_CACHE = {}      # sig -> compiled/jitted kernel (shared process-wide)
+
+
+def _dispatch(name, fn, *args, static=()):
+    """Run a kernel through the module compile cache: one compiled
+    program per (kernel, statics, arg shapes/dtypes), shared across
+    levels, solve calls, instances — and pre-warmable concurrently via
+    device.compilepool (MultifrontalQR.prewarm)."""
+    sig = (name,) + tuple(static) + tuple(
+        (a.shape, str(a.dtype)) for a in jax.tree.leaves(args))
+    k = _K_CACHE.get(sig)
+    if k is None:
+        k = _K_CACHE[sig] = jax.jit(fn)
+    return k(*args)
+
+
+def _k_factor(pool, taus, slots, kelim):
+    fn = jax.vmap(lambda M, t: _front_qr(M, t, kelim))
+    Mb, tb = fn(pool[slots], taus[slots])
+    return pool.at[slots].set(Mb), taus.at[slots].set(tb)
+
+
+def _k_assemble(ppool, cpool, psl, csl, RM, CM):
+    P, Rhp = RM.shape
+    Chp = CM.shape[1]
+    Rhc, Chc = cpool.shape[1], cpool.shape[2]
+    flat = cpool.reshape(-1, Chc)
+    rows = flat[csl[:, None] * Rhc + jnp.maximum(RM, 0)]
+    cmb = jnp.broadcast_to(jnp.maximum(CM, 0)[:, None, :], (P, Rhp, Chp))
+    vals = jnp.take_along_axis(rows, cmb, axis=2)
+    mask = ((RM >= 0)[:, :, None] & (CM >= 0)[:, None, :]
+            & (jnp.maximum(CM, 0)[:, None, :]
+               >= jnp.maximum(RM, 0)[:, :, None]))
+    return ppool.at[psl].add(vals * mask.astype(vals.dtype))
+
+
+def _k_rdiag(pool, wvec, wb):
+    WB = wb.shape[0]
+    d = jnp.abs(jnp.diagonal(pool[:, :WB, :WB], axis1=1, axis2=2))
+    d = jnp.where(jnp.arange(WB)[None, :] < wvec[:, None], d, jnp.inf)
+    return d.min(), jnp.all(jnp.isfinite(pool))
+
+
+def _gather1d(vec, idx):
+    """vec[idx] for 2-D idx, chunked into <=64-wide minor slices:
+    wide gathers from 1-D operands crash the axon TPU fusion emitter
+    (Check failed: GetGatherType == kSublaneGather — reproduced on
+    hardware at minor dim 128; 64-wide chunks compile and run)."""
+    if idx.ndim != 2 or idx.shape[1] <= 64:
+        return vec[idx]
+    parts = [vec[idx[:, k:k + 64]]
+             for k in range(0, idx.shape[1], 64)]
+    return jnp.concatenate(parts, axis=1)
+
+
+def _k_qt_gatherb(zpool, slots, bidx, bpad):
+    bi = jnp.minimum(jnp.maximum(bidx, 0), bpad.shape[0] - 1)
+    vals = _gather1d(bpad, bi) * (bidx >= 0).astype(bpad.dtype)
+    return zpool.at[slots].set(vals)
+
+
+def _k_qt_contrib(zp, zc, psl, csl, RM):
+    # ONE-HOT matmul instead of a lane gather: flat element gathers AND
+    # take_along_axis with result-minor != operand-minor both crash the
+    # axon TPU fusion emitter when the child row width is smaller than
+    # the parent's (Check failed: GetGatherType == kSublaneGather,
+    # reproduced on hardware at cb=(16,24) -> pb=(128,96)).  The
+    # (P, Rhp, Rhc) one-hot GEMM is tiny next to the front QR flops.
+    rows = zc[csl]                                 # (P, Rhc)
+    oh = (jnp.maximum(RM, 0)[:, :, None]
+          == jnp.arange(zc.shape[1])[None, None, :]).astype(rows.dtype)
+    vals = jnp.einsum("prc,pc->pr", oh, rows, precision=HIGHEST)
+    vals = vals * (RM >= 0).astype(vals.dtype)
+    return zp.at[psl].add(vals)
+
+
+def _k_qt_apply(pool, taus, zpool, slots, outmap, ypad, kelim):
+    zb = _front_qt(pool[slots], taus[slots], zpool[slots], kelim)
+    return zpool.at[slots].set(zb), ypad.at[outmap].set(zb)
+
+
+def _k_q_fromy(zext, slots, outmap, ypad):
+    ysize = ypad.shape[0] - 1
+    om = jnp.minimum(outmap, ysize)
+    vals = _gather1d(ypad, om) * (outmap < ysize).astype(ypad.dtype)
+    return zext.at[slots, :zext.shape[1] - 1].set(vals)
+
+
+def _k_q_fromparent(zext, apool, psl, csl, RM):
+    # slab gather + put_along_axis + row scatter (csl unique per pair
+    # group), avoiding the 2-D element scatter that mirrors the fusion
+    # emitter's unsupported gather pattern
+    Rhc = zext.shape[1] - 1                 # last column is trash
+    avals = apool[psl]                      # (P, Rhp)
+    idx = jnp.where(RM >= 0, RM, Rhc)
+    rows = zext[csl]                        # (P, Rhc + 1)
+    rows = jnp.put_along_axis(rows, idx, avals, axis=1, inplace=False)
+    return zext.at[csl].set(rows)
+
+
+def _k_q_apply(pool, taus, zext, slots, bidx, state, kelim):
+    apool, bvec = state
+    zb = zext[slots][:, :zext.shape[1] - 1]
+    ab = _front_q(pool[slots], taus[slots], zb, kelim)
+    apool = apool.at[slots].set(ab)
+    tgt = jnp.where(bidx >= 0, bidx, bvec.shape[0] - 1)
+    bvec = bvec.at[tgt].set(jnp.where(bidx >= 0, ab, 0.0))
+    return apool, bvec
+
+
+def _k_rsolve(pool, slots, colsJ, odidx, wvec, xpad, y):
+    """Back-substitution over the WB x WB leading block.  The front
+    width w is runtime data: rows >= w become IDENTITY equations whose
+    rhs is the already-solved x at that od column, so pivot rows see
+    the correct coupling to cols [w, WB) without W in the program."""
+    WB = colsJ.shape[1]
+    P = pool[slots]
+    piv = jnp.arange(WB)[None, :] < wvec[:, None]        # (P, WB)
+    RJJ = jnp.triu(P[:, :WB, :WB])
+    RJJ = jnp.where(piv[:, :, None], RJJ,
+                    jnp.eye(WB, dtype=P.dtype)[None])
+    yJ = y[jnp.minimum(colsJ, y.shape[0] - 1)]
+    rhs = yJ
+    if pool.shape[2] > WB:
+        Rrest = P[:, :WB, WB:]
+        xod = _gather1d(xpad, odidx)
+        rhs = rhs - jnp.einsum("pwc,pc->pw", Rrest, xod,
+                               precision=HIGHEST)
+    rhs = jnp.where(piv, rhs, xpad[colsJ])
+    xJ = jax.lax.linalg.triangular_solve(
+        RJJ, rhs[:, :, None], left_side=True, lower=False)[:, :, 0]
+    return xpad.at[colsJ].set(xJ)
+
+
+def _k_rtsolve(pool, slots, colsJ, odidx, wvec, ypad):
+    """Forward R' solve with runtime front width: rows >= w are
+    identity equations, so z there equals the UPDATED y at that od
+    column (z - rhs = the od update, applied with .add so fronts
+    sharing an od column accumulate correctly)."""
+    WB = colsJ.shape[1]
+    n = ypad.shape[0] - 1
+    P = pool[slots]
+    piv = jnp.arange(WB)[None, :] < wvec[:, None]
+    RJJ = jnp.triu(P[:, :WB, :WB])
+    RJJ = jnp.where(piv[:, :, None], RJJ,
+                    jnp.eye(WB, dtype=P.dtype)[None])
+    rhs = ypad[colsJ]
+    z = jax.lax.linalg.triangular_solve(
+        RJJ, rhs[:, :, None], left_side=True, lower=False,
+        transpose_a=True)[:, :, 0]
+    ypad = ypad.at[jnp.where(piv, colsJ, n)].set(jnp.where(piv, z, 0.0))
+    ypad = ypad.at[jnp.where(piv, n, colsJ)].add(
+        jnp.where(piv, 0.0, z - rhs))
+    if pool.shape[2] > WB:
+        Rrest = P[:, :WB, WB:]
+        delta = jnp.einsum("pwc,pw->pc", Rrest,
+                           z * piv.astype(z.dtype), precision=HIGHEST)
+        ypad = ypad.at[odidx].add(-delta)
+    return ypad.at[n].set(0.0)
+
+
+class _DeviceSched:
+    """Per-plan device-resident dispatch schedule: every map array is
+    uploaded once (padded to _gbatch batch sizes), so solve/apply calls
+    do no host->device schedule transfers."""
+
+    def __init__(self, plan: MfqrPlan):
+        self.plan = plan
+        i32 = np.int32
+        self.factor = []        # [(lvl, bucket, kelim, slots)]
+        self.assemble = []      # [(lvl, cb, pb, psl, csl, RM, CM)]
+        self.disassemble = []   # [(lvl, cb, pb, psl, csl, RM)]
+        self.io = []            # [(lvl, bucket, kelim, slots, bidx, outmap)]
+        self.rsolve = []   # [(lvl, bucket, slots, colsJ, odidx, wvec)]
+        self.rdiag = {}    # bucket -> (wvec over all slots, WB)
         for lvl in range(plan.nlevels):
+            for b, slots in plan.level_factor[lvl].items():
+                P = _gbatch(len(slots))
+                sl = jnp.asarray(_padrep(np.asarray(slots, i32), P))
+                self.factor.append((lvl, b, min(b[0], b[1]), sl))
             for (cb, pb), (psl, csl, RM, CM) in \
                     plan.level_assemble[lvl].items():
-                Rhc, Chc, Wc = cb
-                Rhp, Chp, Wp = pb
-                P = psl.shape[0]
-                flat = pools[cb].reshape(-1, Chc)
-                rm = jnp.asarray(RM)
-                cm = jnp.asarray(CM)
-                rows = flat[jnp.asarray(csl)[:, None] * Rhc
-                            + jnp.maximum(rm, 0)]        # (P, Rhp, Chc)
-                cmb = jnp.broadcast_to(jnp.maximum(cm, 0)[:, None, :],
-                                       (P, Rhp, Chp))
-                vals = jnp.take_along_axis(rows, cmb, axis=2)
-                mask = ((rm >= 0)[:, :, None] & (cm >= 0)[:, None, :]
-                        & (jnp.maximum(cm, 0)[:, None, :]
-                           >= jnp.maximum(rm, 0)[:, :, None]))
-                pools[pb] = pools[pb].at[jnp.asarray(psl)].add(
-                    vals * mask.astype(vals.dtype))
-            for b, slots in plan.level_factor[lvl].items():
-                Rh, Ch, W = b
-                kelim = min(Rh, Ch)
-                sl = jnp.asarray(slots)
-                fn = jax.vmap(
-                    lambda M, t, ke=kelim: qr_factor_partial(M, t, _BS, ke))
-                Mb, tb = fn(pools[b][sl], taus[b][sl])
-                pools[b] = pools[b].at[sl].set(Mb)
-                taus[b] = taus[b].at[sl].set(tb)
-        return pools, taus
-
-    return factor
-
-
-def _rdiag_fn(plan: MfqrPlan):
-    """Jittable: min |R diagonal| over the real pivot columns + finite
-    check — the rank_ok contract without downloading the pools."""
-    def rdiag(pools):
-        mn = jnp.inf
-        finite = jnp.array(True)
-        for b in plan.buckets:
-            Rh, Ch, W = b
-            d = jnp.abs(jnp.diagonal(pools[b][:, :W, :W],
-                                     axis1=1, axis2=2))
-            mn = jnp.minimum(mn, d.min())
-            finite = jnp.logical_and(finite,
-                                     jnp.all(jnp.isfinite(pools[b])))
-        return mn, finite
-
-    return rdiag
-
-
-def _qt_fn(plan: MfqrPlan):
-    """Q' b: level-scheduled forward traversal.  bpad is (m+1,) f32
-    (trash slot m = 0); returns ypad (ysize+1,)."""
-    def qt(pools, taus, bpad):
-        ypad = jnp.zeros(plan.ysize + 1, jnp.float32)
-        if plan.pass_rows.size:
-            ypad = ypad.at[jnp.asarray(plan.pass_slots)].set(
-                bpad[jnp.asarray(plan.pass_rows)])
-        z = {b: jnp.zeros((plan.bucket_count[b], b[0]), jnp.float32)
-             for b in plan.buckets}
-        for lvl in range(plan.nlevels):
-            for b, (slots, bidx, _om) in plan.level_io[lvl].items():
-                bi = jnp.asarray(bidx)
-                vals = bpad[jnp.minimum(jnp.maximum(bi, 0), plan.m)]
-                vals = vals * (bi >= 0).astype(vals.dtype)
-                z[b] = z[b].at[jnp.asarray(slots)].set(vals)
-            for (cb, pb), (psl, csl, RM, _CM) in \
-                    plan.level_assemble[lvl].items():
-                vals = _gather_contrib(z, cb, csl, RM)
-                z[pb] = z[pb].at[jnp.asarray(psl)].add(vals)
-            for b, (slots, _bi, outmap) in plan.level_io[lvl].items():
-                Rh, Ch, W = b
-                kelim = min(Rh, Ch)
-                sl = jnp.asarray(slots)
-                zb = qr_qt_mul_batched(pools[b][sl], taus[b][sl],
-                                       z[b][sl], _BS, kelim)
-                z[b] = z[b].at[sl].set(zb)
-                ypad = ypad.at[jnp.asarray(outmap)].set(zb)
-        return ypad.at[plan.ysize].set(0.0)
-
-    return qt
-
-
-def _q_fn(plan: MfqrPlan):
-    """Q y: reverse traversal (inverse of _qt_fn).  ypad is (ysize+1,);
-    returns bpad (m+1,)."""
-    def qf(pools, taus, ypad):
-        bpad = jnp.zeros(plan.m + 1, jnp.float32)
-        if plan.pass_rows.size:
-            bpad = bpad.at[jnp.asarray(plan.pass_rows)].set(
-                ypad[jnp.asarray(plan.pass_slots)])
-        # a-pools carry each front's reconstructed pre-Q' local vector;
-        # one trash column (index Rh) absorbs masked scatters
-        a = {b: jnp.zeros((plan.bucket_count[b], b[0] + 1), jnp.float32)
-             for b in plan.buckets}
-        z = {b: jnp.zeros((plan.bucket_count[b], b[0]), jnp.float32)
-             for b in plan.buckets}
-        for lvl in range(plan.nlevels - 1, -1, -1):
-            for b, (slots, _bi, outmap) in plan.level_io[lvl].items():
-                om = jnp.asarray(outmap)
-                vals = ypad[jnp.minimum(om, plan.ysize)]
-                vals = vals * (om < plan.ysize).astype(vals.dtype)
-                z[b] = z[b].at[jnp.asarray(slots)].set(vals)
+                P = _gbatch(len(psl))
+                pad = P - len(psl)
+                psl2 = np.concatenate([psl, np.zeros(pad, i32)])
+                csl2 = np.concatenate([csl, np.zeros(pad, i32)])
+                RM2 = np.concatenate(
+                    [RM, np.full((pad, RM.shape[1]), -1, i32)])
+                CM2 = np.concatenate(
+                    [CM, np.full((pad, CM.shape[1]), -1, i32)])
+                self.assemble.append(
+                    (lvl, cb, pb, jnp.asarray(psl2), jnp.asarray(csl2),
+                     jnp.asarray(RM2), jnp.asarray(CM2)))
             for (cb, pb), (psl, csl, RM, _CM) in \
                     plan.level_disassemble[lvl].items():
-                Rhc = cb[0]
-                avals = a[pb][jnp.asarray(psl)][:, :pb[0]]    # (P, Rhp)
-                rm = jnp.asarray(RM)
-                idx = jnp.where(rm >= 0, rm, Rhc)
-                zc = jnp.concatenate(
-                    [z[cb], jnp.zeros((plan.bucket_count[cb], 1),
-                                      jnp.float32)], axis=1)
-                zc = zc.at[jnp.asarray(csl)[:, None], idx].set(avals)
-                z[cb] = zc[:, :Rhc]
-            for b, (slots, bidx, _om) in plan.level_io[lvl].items():
-                Rh, Ch, W = b
-                kelim = min(Rh, Ch)
-                sl = jnp.asarray(slots)
-                ab = qr_q_mul_batched(pools[b][sl], taus[b][sl],
-                                      z[b][sl], _BS, kelim)
-                a[b] = a[b].at[sl, :Rh].set(ab)
-                bi = jnp.asarray(bidx)
-                bpad = bpad.at[jnp.where(bi >= 0, bi, plan.m)].set(
-                    jnp.where(bi >= 0, ab, 0.0))
-        return bpad.at[plan.m].set(0.0)
-
-    return qf
-
-
-def _rsolve_fn(plan: MfqrPlan):
-    """x = R \\ y[:n] device-resident (reverse level order)."""
-    n = plan.n
-
-    def rsolve(pools, y):                          # y: (n,) f32
-        xpad = jnp.zeros(n + 1, jnp.float32)
-        for lvl in range(plan.nlevels - 1, -1, -1):
-            for b, (slots, colsJ, odidx) in plan.level_rsolve[lvl].items():
-                Rh, Ch, W = b
-                P = pools[b][jnp.asarray(slots)]
-                RJJ = jnp.triu(P[:, :W, :W])
-                rhs = y[jnp.asarray(colsJ)]
-                if Ch > W:
-                    Rrest = P[:, :W, W:]
-                    xod = xpad[jnp.asarray(odidx)]
-                    rhs = rhs - jnp.einsum("pwc,pc->pw", Rrest, xod,
-                                           precision=HIGHEST)
-                xJ = jax.lax.linalg.triangular_solve(
-                    RJJ, rhs[:, :, None], left_side=True,
-                    lower=False)[:, :, 0]
-                xpad = xpad.at[jnp.asarray(colsJ)].set(xJ)
-        return xpad[:n]
-
-    return rsolve
-
-
-def _rtsolve_fn(plan: MfqrPlan):
-    """z = R' \\ b device-resident (forward level order)."""
-    n = plan.n
-
-    def rtsolve(pools, b):                         # b: (n,) f32
-        ypad = jnp.concatenate([b, jnp.zeros(1, jnp.float32)])
-        for lvl in range(plan.nlevels):
-            for bk, (slots, colsJ, odidx) in plan.level_rsolve[lvl].items():
-                Rh, Ch, W = bk
-                P = pools[bk][jnp.asarray(slots)]
-                RJJ = jnp.triu(P[:, :W, :W])
-                rhs = ypad[jnp.asarray(colsJ)]
-                zJ = jax.lax.linalg.triangular_solve(
-                    RJJ, rhs[:, :, None], left_side=True, lower=False,
-                    transpose_a=True)[:, :, 0]
-                ypad = ypad.at[jnp.asarray(colsJ)].set(zJ)
-                if Ch > W:
-                    Rrest = P[:, :W, W:]
-                    delta = jnp.einsum("pwc,pw->pc", Rrest, zJ,
-                                       precision=HIGHEST)
-                    ypad = ypad.at[jnp.asarray(odidx)].add(-delta)
-                    ypad = ypad.at[n].set(0.0)
-        return ypad[:n]
-
-    return rtsolve
+                P = _gbatch(len(psl))
+                pad = P - len(psl)
+                # repeat-pad: duplicate scatter .set of identical values
+                psl2 = _padrep(np.asarray(psl, i32), P)
+                csl2 = _padrep(np.asarray(csl, i32), P)
+                RM2 = _padrep(RM.astype(i32), P)
+                self.disassemble.append(
+                    (lvl, cb, pb, jnp.asarray(psl2), jnp.asarray(csl2),
+                     jnp.asarray(RM2)))
+            for b, (slots, bidx, outmap) in plan.level_io[lvl].items():
+                P = _gbatch(len(slots))
+                sl = jnp.asarray(_padrep(np.asarray(slots, i32), P))
+                bi = jnp.asarray(_padrep(bidx.astype(i32), P))
+                om = jnp.asarray(_padrep(outmap.astype(i32), P))
+                self.io.append((lvl, b, min(b[0], b[1]), sl, bi, om))
+            for b, (slots, colsJ, odidx, wv) in \
+                    plan.level_rsolve[lvl].items():
+                P = _gbatch(len(slots))
+                pad = P - len(slots)
+                sl = _padrep(np.asarray(slots, i32), P)
+                cj = np.concatenate(
+                    [colsJ, np.full((pad, colsJ.shape[1]), plan.n, i32)])
+                od = np.concatenate(
+                    [odidx, np.full((pad, odidx.shape[1]), plan.n, i32)])
+                wv2 = np.concatenate([wv, np.zeros(pad, i32)])
+                self.rsolve.append((lvl, b, jnp.asarray(sl),
+                                    jnp.asarray(cj), jnp.asarray(od),
+                                    jnp.asarray(wv2)))
+        wb_all = {}
+        for f in plan.fronts:
+            wb_all.setdefault(f.bucket,
+                              np.zeros(plan.bucket_count[f.bucket],
+                                       i32))[f.slot] = f.w
+        for b, wv in wb_all.items():
+            WB = min(b[0], b[1], max(int(wv.max()), 1))
+            self.rdiag[b] = (jnp.asarray(wv), WB)
+        self.pass_rows = (jnp.asarray(plan.pass_rows.astype(i32))
+                          if plan.pass_rows.size else None)
+        self.pass_slots = (jnp.asarray(plan.pass_slots.astype(i32))
+                           if plan.pass_rows.size else None)
 
 
 class MultifrontalQR:
@@ -585,7 +714,11 @@ class MultifrontalQR:
     reference's cs_happly as an operator; ``solve_ls``/``solve_minnorm``
     follow the cs_qrsol driver, wrapped in f64 iterative refinement
     (contraction rate ~kappa(A)*eps_f32 since Q is exact — not the
-    kappa^2 of the Q-less CSNE engine)."""
+    kappa^2 of the Q-less CSNE engine).
+
+    All device work dispatches through module-level shape-cached
+    kernels, so compiled programs are shared across etree levels,
+    repeated solves, and other MultifrontalQR instances."""
 
     def __init__(self, A: CSCMatrix, order: int = 3, **plan_kw):
         if A.m < A.n:
@@ -593,55 +726,212 @@ class MultifrontalQR:
         self.A = A
         self.At = transpose(A, values=True)
         self.plan = plan_mfqr(A, order=order, **plan_kw)
-        self._factorf = jax.jit(_factor_fn(self.plan))
-        self._rdiag = jax.jit(_rdiag_fn(self.plan))
-        self._qtf = jax.jit(_qt_fn(self.plan))
-        self._qf = jax.jit(_q_fn(self.plan))
-        self._rsolvef = jax.jit(_rsolve_fn(self.plan))
-        self._rtsolvef = jax.jit(_rtsolve_fn(self.plan))
+        self._sched = _DeviceSched(self.plan)
         self.pools = None
         self.taus = None
         self.rank_ok = False
         self.last_info = {}
 
+    def prewarm(self) -> int:
+        """Concurrently AOT-compile every kernel program this plan will
+        dispatch (factor + Q'/Q + R/R' solves) via device.compilepool —
+        on the axon relay, serial compiles are the first-run wall.
+        Returns the number of distinct programs ensured."""
+        plan, sched = self.plan, self._sched
+        f32, i32 = jnp.float32, jnp.int32
+        S = jax.ShapeDtypeStruct
+        jobs = []
+
+        def add(name, fn, *args, static=()):
+            sig = (name,) + tuple(static) + tuple(
+                (a.shape, str(a.dtype)) for a in jax.tree.leaves(args))
+            jobs.append((sig, fn, args))
+
+        pool_s = {b: S((plan.bucket_count[b], b[0], b[1]), f32)
+                  for b in plan.buckets}
+        taus_s = {b: S((plan.bucket_count[b], b[1]), f32)
+                  for b in plan.buckets}
+        z_s = {b: S((plan.bucket_count[b], b[0]), f32)
+               for b in plan.buckets}
+        zext_s = {b: S((plan.bucket_count[b], b[0] + 1), f32)
+                  for b in plan.buckets}
+        bpad_s = S((plan.m + 1,), f32)
+        ypad_s = S((plan.ysize + 1,), f32)
+        xpad_s = S((plan.n + 1,), f32)
+        y_s = S((plan.n,), f32)
+        for _, cb, pb, psl, csl, RM, CM in sched.assemble:
+            add("asm", _k_assemble, pool_s[pb], pool_s[cb], psl, csl,
+                RM, CM)
+            add("qtc", _k_qt_contrib, z_s[pb], z_s[cb], psl, csl, RM)
+        for _, b, kelim, sl in sched.factor:
+            add("qrf", lambda P, T, Sl, ke=kelim: _k_factor(P, T, Sl, ke),
+                pool_s[b], taus_s[b], sl, static=(kelim,))
+        for b in plan.buckets:
+            wv, WB = sched.rdiag[b]
+            add("rdiag", _k_rdiag, pool_s[b], wv, S((WB,), f32))
+        for _, b, kelim, sl, bi, om in sched.io:
+            add("qtg", _k_qt_gatherb, z_s[b], sl, bi, bpad_s)
+            add("qta",
+                lambda P, T, Z, Sl, O, Y, ke=kelim:
+                    _k_qt_apply(P, T, Z, Sl, O, Y, ke),
+                pool_s[b], taus_s[b], z_s[b], sl, om, ypad_s,
+                static=(kelim,))
+            add("qfy", _k_q_fromy, zext_s[b], sl, om, ypad_s)
+            add("qa",
+                lambda P, T, Z, Sl, B, ST, ke=kelim:
+                    _k_q_apply(P, T, Z, Sl, B, ST, ke),
+                pool_s[b], taus_s[b], zext_s[b], sl, bi,
+                (z_s[b], bpad_s), static=(kelim,))
+        for _, cb, pb, psl, csl, RM in sched.disassemble:
+            add("qfp", _k_q_fromparent, zext_s[cb], z_s[pb], psl, csl,
+                RM)
+        for _, b, sl, cj, od, wv in sched.rsolve:
+            add("rs", _k_rsolve, pool_s[b], sl, cj, od, wv, xpad_s, y_s)
+            add("rts", _k_rtsolve, pool_s[b], sl, cj, od, wv, xpad_s)
+        from .compilepool import compile_many
+        compile_many(_K_CACHE, jobs)
+        return len({sig for sig, _f, _a in jobs})
+
     def factor(self) -> bool:
-        plan = self.plan
+        plan, sched = self.plan, self._sched
         pools = {b: jnp.asarray(v) for b, v in plan.pool_init.items()}
         taus = {b: jnp.zeros((plan.bucket_count[b], b[1]), jnp.float32)
                 for b in plan.buckets}
-        pools, taus = self._factorf(pools, taus)
-        mn, finite = self._rdiag(pools)
-        self.rank_ok = bool(finite) and float(mn) > 0.0
-        if bool(finite):
+        fi = ai = 0
+        for lvl in range(plan.nlevels):
+            while ai < len(sched.assemble) and sched.assemble[ai][0] == lvl:
+                _, cb, pb, psl, csl, RM, CM = sched.assemble[ai]
+                pools[pb] = _dispatch("asm", _k_assemble, pools[pb],
+                                      pools[cb], psl, csl, RM, CM)
+                ai += 1
+            while fi < len(sched.factor) and sched.factor[fi][0] == lvl:
+                _, b, kelim, sl = sched.factor[fi]
+                pools[b], taus[b] = _dispatch(
+                    "qrf", lambda P, T, S, ke=kelim: _k_factor(P, T, S, ke),
+                    pools[b], taus[b], sl, static=(kelim,))
+                fi += 1
+        mn, finite = np.inf, True
+        for b in plan.buckets:
+            wv, WB = sched.rdiag[b]
+            d, fin = _dispatch("rdiag", _k_rdiag, pools[b], wv,
+                               jnp.zeros(WB, jnp.float32))
+            mn = min(mn, float(d))
+            finite = finite and bool(fin)
+        self.rank_ok = finite and mn > 0.0
+        if finite:
             self.pools, self.taus = pools, taus
         return self.rank_ok
+
+    # ------------------------------------------------------- raw passes
+    def _qt_pass(self, bpad):
+        """Q'b: bpad (m+1,) jnp f32 -> ypad (ysize+1,) jnp f32."""
+        plan, sched = self.plan, self._sched
+        ypad = jnp.zeros(plan.ysize + 1, jnp.float32)
+        if sched.pass_rows is not None:
+            ypad = ypad.at[sched.pass_slots].set(bpad[sched.pass_rows])
+        z = {b: jnp.zeros((plan.bucket_count[b], b[0]), jnp.float32)
+             for b in plan.buckets}
+        ii = ai = 0
+        for lvl in range(plan.nlevels):
+            io_here = []
+            while ii < len(sched.io) and sched.io[ii][0] == lvl:
+                io_here.append(sched.io[ii])
+                ii += 1
+            for _, b, kelim, sl, bi, om in io_here:
+                z[b] = _dispatch("qtg", _k_qt_gatherb, z[b], sl, bi,
+                                 bpad)
+            while ai < len(sched.assemble) and sched.assemble[ai][0] == lvl:
+                _, cb, pb, psl, csl, RM, _CM = sched.assemble[ai]
+                z[pb] = _dispatch("qtc", _k_qt_contrib, z[pb], z[cb],
+                                  psl, csl, RM)
+                ai += 1
+            for _, b, kelim, sl, bi, om in io_here:
+                z[b], ypad = _dispatch(
+                    "qta",
+                    lambda P, T, Z, S, O, Y, ke=kelim:
+                        _k_qt_apply(P, T, Z, S, O, Y, ke),
+                    self.pools[b], self.taus[b], z[b], sl, om, ypad,
+                    static=(kelim,))
+        return ypad.at[plan.ysize].set(0.0)
+
+    def _q_pass(self, ypad):
+        """Qy: ypad (ysize+1,) jnp f32 -> bpad (m+1,) jnp f32."""
+        plan, sched = self.plan, self._sched
+        bvec = jnp.zeros(plan.m + 1, jnp.float32)
+        if sched.pass_rows is not None:
+            bvec = bvec.at[sched.pass_rows].set(ypad[sched.pass_slots])
+        zext = {b: jnp.zeros((plan.bucket_count[b], b[0] + 1),
+                             jnp.float32) for b in plan.buckets}
+        apool = {b: jnp.zeros((plan.bucket_count[b], b[0]), jnp.float32)
+                 for b in plan.buckets}
+        io_by_lvl = {}
+        for item in sched.io:
+            io_by_lvl.setdefault(item[0], []).append(item)
+        dis_by_lvl = {}
+        for item in sched.disassemble:
+            dis_by_lvl.setdefault(item[0], []).append(item)
+        for lvl in range(plan.nlevels - 1, -1, -1):
+            for _, b, kelim, sl, bi, om in io_by_lvl.get(lvl, []):
+                zext[b] = _dispatch("qfy", _k_q_fromy, zext[b], sl,
+                                    om, ypad)
+            for _, cb, pb, psl, csl, RM in dis_by_lvl.get(lvl, []):
+                zext[cb] = _dispatch("qfp", _k_q_fromparent, zext[cb],
+                                     apool[pb], psl, csl, RM)
+            for _, b, kelim, sl, bi, om in io_by_lvl.get(lvl, []):
+                apool[b], bvec = _dispatch(
+                    "qa",
+                    lambda P, T, Z, S, B, ST, ke=kelim:
+                        _k_q_apply(P, T, Z, S, B, ST, ke),
+                    self.pools[b], self.taus[b], zext[b], sl, bi,
+                    (apool[b], bvec), static=(kelim,))
+        return bvec.at[plan.m].set(0.0)
+
+    def _rsolve_pass(self, y):
+        """x = R \\ y for y (n,) jnp f32, reverse level order."""
+        plan, sched = self.plan, self._sched
+        xpad = jnp.zeros(plan.n + 1, jnp.float32)
+        for lvl, b, sl, cj, od, wv in reversed(sched.rsolve):
+            xpad = _dispatch("rs", _k_rsolve, self.pools[b], sl, cj,
+                             od, wv, xpad, y)
+        return xpad[:plan.n]
+
+    def _rtsolve_pass(self, bq):
+        """z = R' \\ bq for bq (n,) jnp f32, forward level order."""
+        plan, sched = self.plan, self._sched
+        ypad = jnp.concatenate([bq, jnp.zeros(1, jnp.float32)])
+        for lvl, b, sl, cj, od, wv in sched.rsolve:
+            ypad = _dispatch("rts", _k_rtsolve, self.pools[b], sl, cj,
+                             od, wv, ypad)
+        return ypad[:plan.n]
 
     # ---------------------------------------------------------- operators
     def apply_qt(self, b: np.ndarray) -> np.ndarray:
         """y = Q' b (length plan.ysize; y[:n] are the R-row coords)."""
-        bpad = np.zeros(self.plan.m + 1, np.float32)
-        bpad[:self.plan.m] = b
-        out = self._qtf(self.pools, self.taus, jnp.asarray(bpad))
-        return np.asarray(out, np.float64)[:self.plan.ysize]
+        return self._qt_np(np.asarray(b, np.float64))
 
     def apply_q(self, y: np.ndarray) -> np.ndarray:
         """b = Q y for y of length plan.ysize (inverse of apply_qt)."""
-        ypad = np.zeros(self.plan.ysize + 1, np.float32)
-        ypad[:len(y)] = y
-        out = self._qf(self.pools, self.taus, jnp.asarray(ypad))
-        return np.asarray(out, np.float64)[:self.plan.m]
+        return self._q_np(np.asarray(y, np.float64))
 
     def _qt_np(self, v: np.ndarray) -> np.ndarray:
         bpad = np.zeros(self.plan.m + 1, np.float32)
         bpad[:self.plan.m] = v
-        out = self._qtf(self.pools, self.taus, jnp.asarray(bpad))
+        out = self._qt_pass(jnp.asarray(bpad))
         return np.asarray(out, np.float64)[:self.plan.ysize]
 
     def _q_np(self, y: np.ndarray) -> np.ndarray:
         ypad = np.zeros(self.plan.ysize + 1, np.float32)
         ypad[:len(y)] = y
-        out = self._qf(self.pools, self.taus, jnp.asarray(ypad))
+        out = self._q_pass(jnp.asarray(ypad))
         return np.asarray(out, np.float64)[:self.plan.m]
+
+    def _rsolve_np(self, y: np.ndarray) -> np.ndarray:
+        out = self._rsolve_pass(jnp.asarray(np.asarray(y, np.float32)))
+        return np.asarray(out, np.float64)
+
+    def _rtsolve_np(self, bq: np.ndarray) -> np.ndarray:
+        out = self._rtsolve_pass(jnp.asarray(np.asarray(bq, np.float32)))
+        return np.asarray(out, np.float64)
 
     def _aug_solve(self, f1: np.ndarray, f2q: np.ndarray):
         """Exact augmented-system solve (Bjorck) using the true Q:
@@ -649,14 +939,9 @@ class MultifrontalQR:
         h = R'^{-1} f2q;  g = Q'f1;  dxq = R^{-1}(g[:n] - h);
         dr = Q [h; g[n:]].  All four device-resident passes."""
         n = self.plan.n
-        h = np.asarray(self._rtsolvef(self.pools,
-                                      jnp.asarray(f2q, jnp.float32)),
-                       np.float64)
+        h = self._rtsolve_np(f2q)
         g = self._qt_np(f1)
-        dxq = np.asarray(self._rsolvef(self.pools,
-                                       jnp.asarray(g[:n] - h,
-                                                   jnp.float32)),
-                         np.float64)
+        dxq = self._rsolve_np(g[:n] - h)
         y = g.copy()
         y[:n] = h
         dr = self._q_np(y)
@@ -722,13 +1007,9 @@ class MultifrontalQR:
                     np.abs(x).max(), 1.0):
                 break
             # dx = Q [u; g2], dlamq = R^{-1}(u - g1), u = R'^{-1} f2q
-            u = np.asarray(self._rtsolvef(
-                self.pools, jnp.asarray(f2[plan.q], jnp.float32)),
-                np.float64)
+            u = self._rtsolve_np(f2[plan.q])
             g = self._qt_np(f1)
-            dlamq = np.asarray(self._rsolvef(
-                self.pools, jnp.asarray(u - g[:plan.n], jnp.float32)),
-                np.float64)
+            dlamq = self._rsolve_np(u - g[:plan.n])
             y = g.copy()
             y[:plan.n] = u
             dx = self._q_np(y)

@@ -34,8 +34,9 @@ __all__ = ["ShardedSpmv", "sharded_chol_factor",
            "sharded_supernodal_factor", "sharded_supernodal_solve",
            "sharded_superscan_factor", "sharded_superscan_solve",
            "sharded_superscan_lu_factor", "sharded_superscan_lu_solve",
+           "sharded_mfqr_factor", "sharded_mfqr_solve",
            "superscan_comm_metrics", "supernodal_comm_metrics",
-           "sharded_cg"]
+           "mfqr_comm_metrics", "sharded_cg"]
 
 
 class ShardedSpmv:
@@ -598,6 +599,183 @@ def superscan_comm_metrics(plan, n_devices: int, lu: bool = False) -> dict:
             "compute_flops_issued": flops,
             "comm_bytes_per_flop": comm / max(flops, 1),
             "segments": len(plan.segments)}
+
+
+def sharded_mfqr_factor(F, mesh: Mesh, axis: str = "d") -> Callable:
+    """Multifrontal Householder QR factor on the mesh (reference
+    semantics: cs_qr on a multi-chip mesh): per-level front batches of
+    the vmapped blocked QR and the contribution-assembly gathers carry
+    a batch-axis sharding; pools stay replicated, so GSPMD all-reduces
+    the scatter-add deltas.  Returns factor(pools, taus) -> (pools,
+    taus), jit-able as one program."""
+    from ..device.mfqr import _front_qr
+    sched, plan = F._sched, F.plan
+    nd = mesh.devices.size
+    batch_sh = NamedSharding(mesh, P(axis))
+
+    def shard(x, cnt):
+        return (jax.lax.with_sharding_constraint(x, batch_sh)
+                if cnt >= nd and cnt % nd == 0 else x)
+
+    def factor(pools, taus):
+        pools = dict(pools)
+        taus = dict(taus)
+        ai = fi = 0
+        for lvl in range(plan.nlevels):
+            while (ai < len(sched.assemble)
+                   and sched.assemble[ai][0] == lvl):
+                _, cb, pb, psl, csl, RM, CM = sched.assemble[ai]
+                ai += 1
+                Pn = int(psl.shape[0])
+                Rhc, Chc = cb
+                Rhp, Chp = pb
+                flat = pools[cb].reshape(-1, Chc)
+                rows = flat[csl[:, None] * Rhc + jnp.maximum(RM, 0)]
+                rows = shard(rows, Pn)
+                cmb = jnp.broadcast_to(jnp.maximum(CM, 0)[:, None, :],
+                                       (Pn, Rhp, Chp))
+                vals = jnp.take_along_axis(rows, cmb, axis=2)
+                mask = ((RM >= 0)[:, :, None] & (CM >= 0)[:, None, :]
+                        & (jnp.maximum(CM, 0)[:, None, :]
+                           >= jnp.maximum(RM, 0)[:, :, None]))
+                pools[pb] = pools[pb].at[psl].add(
+                    vals * mask.astype(vals.dtype))
+            while fi < len(sched.factor) and sched.factor[fi][0] == lvl:
+                _, b, kelim, sl = sched.factor[fi]
+                fi += 1
+                cnt = int(sl.shape[0])
+                Mb = shard(pools[b][sl], cnt)
+                Tb = shard(taus[b][sl], cnt)
+                fn = jax.vmap(
+                    lambda Mx, tx, ke=kelim: _front_qr(Mx, tx, ke))
+                Mb, Tb = fn(Mb, Tb)
+                pools[b] = pools[b].at[sl].set(Mb)
+                taus[b] = taus[b].at[sl].set(Tb)
+        return pools, taus
+
+    return factor
+
+
+def sharded_mfqr_solve(F, mesh: Mesh, axis: str = "d") -> Callable:
+    """One jitted sharded LS pass x_q = R^{-1} (Q'b)[:n]: the Q'
+    traversal's batched WY applications and the R back-substitution
+    batches carry the mesh sharding (cs_qrsol's solve phase on the
+    mesh).  Returns a host-callable f32 solve for QR refinement."""
+    from ..device.mfqr import _front_qt
+    sched, plan = F._sched, F.plan
+    nd = mesh.devices.size
+    batch_sh = NamedSharding(mesh, P(axis))
+
+    def shard(x, cnt):
+        return (jax.lax.with_sharding_constraint(x, batch_sh)
+                if cnt >= nd and cnt % nd == 0 else x)
+
+    io_by_lvl: dict = {}
+    for item in sched.io:
+        io_by_lvl.setdefault(item[0], []).append(item)
+    asm_by_lvl: dict = {}
+    for item in sched.assemble:
+        asm_by_lvl.setdefault(item[0], []).append(item)
+
+    def run(bpad, pools, taus):
+        ypad = jnp.zeros(plan.ysize + 1, jnp.float32)
+        if sched.pass_rows is not None:
+            ypad = ypad.at[sched.pass_slots].set(bpad[sched.pass_rows])
+        z = {b: jnp.zeros((plan.bucket_count[b], b[0]), jnp.float32)
+             for b in plan.buckets}
+        from ..device.mfqr import _gather1d
+        for lvl in range(plan.nlevels):
+            for _, b, kelim, sl, bi, om in io_by_lvl.get(lvl, []):
+                vals = _gather1d(
+                    bpad, jnp.minimum(jnp.maximum(bi, 0), plan.m))
+                vals = vals * (bi >= 0).astype(vals.dtype)
+                z[b] = z[b].at[sl].set(vals)
+            for _, cb, pb, psl, csl, RM, _CM in asm_by_lvl.get(lvl, []):
+                rows = z[cb][csl]
+                # one-hot GEMM (see device.mfqr._k_qt_contrib: lane
+                # gathers crash the axon TPU fusion emitter here)
+                oh = (jnp.maximum(RM, 0)[:, :, None]
+                      == jnp.arange(rows.shape[1])[None, None, :]
+                      ).astype(rows.dtype)
+                vals = jnp.einsum("prc,pc->pr", oh, rows,
+                                  precision=HIGHEST)
+                vals = vals * (RM >= 0).astype(vals.dtype)
+                z[pb] = z[pb].at[psl].add(vals)
+            for _, b, kelim, sl, bi, om in io_by_lvl.get(lvl, []):
+                cnt = int(sl.shape[0])
+                zb = _front_qt(shard(pools[b][sl], cnt),
+                               shard(taus[b][sl], cnt),
+                               shard(z[b][sl], cnt), kelim)
+                z[b] = z[b].at[sl].set(zb)
+                ypad = ypad.at[om].set(zb)
+        y = ypad[:plan.n]
+        xpad = jnp.zeros(plan.n + 1, jnp.float32)
+        for lvl, b, sl, cj, od, wv in reversed(sched.rsolve):
+            cnt = int(sl.shape[0])
+            Pm = shard(pools[b][sl], cnt)
+            WB = cj.shape[1]
+            piv = jnp.arange(WB)[None, :] < wv[:, None]
+            RJJ = jnp.triu(Pm[:, :WB, :WB])
+            RJJ = jnp.where(piv[:, :, None], RJJ,
+                            jnp.eye(WB, dtype=Pm.dtype)[None])
+            rhs = y[jnp.minimum(cj, plan.n - 1)]
+            if Pm.shape[2] > WB:
+                from ..device.mfqr import _gather1d as _g1
+                xod = _g1(xpad, od)
+                rhs = rhs - jnp.einsum("pwc,pc->pw", Pm[:, :WB, WB:],
+                                       xod, precision=HIGHEST)
+            rhs = jnp.where(piv, rhs, xpad[cj])
+            xJ = jax.lax.linalg.triangular_solve(
+                RJJ, rhs[:, :, None], left_side=True,
+                lower=False)[:, :, 0]
+            xpad = xpad.at[cj].set(xJ)
+        return xpad[:plan.n]
+
+    runj = jax.jit(run)
+
+    def solve_f32(b):
+        bpad = np.zeros(plan.m + 1, np.float32)
+        bpad[:plan.m] = b
+        xq = np.asarray(runj(jnp.asarray(bpad), F.pools, F.taus),
+                        np.float64)
+        x = np.zeros(plan.n)
+        x[plan.q] = xq
+        return x
+
+    return solve_f32
+
+
+def mfqr_comm_metrics(plan, n_devices: int) -> dict:
+    """STRUCTURAL ICI accounting for the sharded multifrontal QR
+    (same model as supernodal_comm_metrics): dispatch batches that are
+    sharded (padded count >= mesh and divisible) scatter-add into
+    replicated buffers — all-reduced bytes = 4 * written elements."""
+    from ..device.mfqr import _gbatch
+    nd = max(int(n_devices), 1)
+    fb = sb = 0
+    for lvl in range(plan.nlevels):
+        for (cb, pb), (psl, *_r) in plan.level_assemble[lvl].items():
+            Pn = _gbatch(len(psl))
+            if Pn >= nd and Pn % nd == 0:
+                fb += 4 * Pn * pb[0] * pb[1]    # assembled front deltas
+        for b, slots in plan.level_factor[lvl].items():
+            cnt = _gbatch(len(slots))
+            if cnt >= nd and cnt % nd == 0:
+                fb += 4 * cnt * b[0] * b[1]     # factored panel writeback
+                sb += 4 * cnt * b[0]            # Q'z writeback
+        for b, items in plan.level_rsolve[lvl].items():
+            cnt = _gbatch(len(items[0]))
+            if cnt >= nd and cnt % nd == 0:
+                sb += 4 * cnt * items[1].shape[1]   # xJ writes
+    return {
+        "mesh_devices": nd,
+        "comm_bytes_factor": int(fb),
+        "comm_bytes_solve": int(sb),
+        "comm_bytes_total": int(fb + sb),
+        "compute_flops_issued": int(plan.flops_padded),
+        "comm_bytes_per_flop": (fb + sb) / max(plan.flops_padded, 1),
+        "levels": plan.nlevels,
+    }
 
 
 def supernodal_comm_metrics(plan, n_devices: int) -> dict:

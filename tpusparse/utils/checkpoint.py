@@ -258,7 +258,7 @@ def save_mfqr_factor(path: str, F) -> None:
     plan = F.plan
     d = {"q": plan.q, "n": np.array([plan.n]), "m": np.array([plan.m])}
     for b in plan.buckets:
-        key = f"{b[0]}_{b[1]}_{b[2]}"
+        key = f"{b[0]}_{b[1]}"
         d[f"pool_{key}"] = np.asarray(F.pools[b])
         d[f"taus_{key}"] = np.asarray(F.taus[b])
     np.savez_compressed(path, **d)
@@ -278,7 +278,7 @@ def load_mfqr_factor(path: str, A: CSCMatrix, **plan_kw):
         raise ValueError("checkpoint does not match this matrix/plan")
     pools, taus = {}, {}
     for b in F.plan.buckets:
-        key = f"{b[0]}_{b[1]}_{b[2]}"
+        key = f"{b[0]}_{b[1]}"
         if (f"pool_{key}" not in z
                 or z[f"pool_{key}"].shape != F.plan.pool_init[b].shape):
             raise ValueError("checkpoint pool shapes do not match")
