@@ -794,6 +794,11 @@ class MultifrontalQR:
 
     def factor(self) -> bool:
         plan, sched = self.plan, self._sched
+        # idempotent: on the axon relay this compiles the plan's
+        # not-yet-cached programs CONCURRENTLY (serial relay compiles
+        # at ~24 s each dominate first-run wall otherwise); on CPU it
+        # just registers the jitted callables
+        self.prewarm()
         pools = {b: jnp.asarray(v) for b, v in plan.pool_init.items()}
         taus = {b: jnp.zeros((plan.bucket_count[b], b[1]), jnp.float32)
                 for b in plan.buckets}
