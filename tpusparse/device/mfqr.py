@@ -92,12 +92,16 @@ def _front_q(VR, taus, z, kelim: int):
 
 
 def _ground(x: int) -> int:
-    """Round up to the next size in {8, 16, 24, 32, 48, 64, 96, ...}
-    (powers of two and 1.5x powers of two, all multiples of 8): bounds
-    per-dimension padding waste at 33% while keeping the number of
-    front buckets logarithmic."""
+    """Round a front dimension up to its bucket size: 1.5x-power-of-two
+    steps {8, 16, 24, 32, 48, 64, 96, 128} below 128 (33%/dim waste
+    bound, few buckets for the many small fronts), multiples of 32
+    above (12.5%/dim bound where the flops actually are — measured on
+    the n=16,384 LS bench: waste 0.419 -> 0.184, issued flops -29%,
+    for +23% compiled programs)."""
     if x <= 8:
         return 8
+    if x > 128:
+        return -(-x // 32) * 32
     p = 8
     while True:
         if x <= p:
