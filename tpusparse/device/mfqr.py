@@ -10,9 +10,11 @@ Where the reference computes one sparse reflection per column, this
 engine factors by FRONTS (SuiteSparseQR-style multifrontal): supernodes
 of the column elimination tree become dense padded frontal matrices,
 each fully QR-factored by a blocked Householder kernel (compact-WY, MXU
-GEMMs — tpusparse.device.dense.qr_factor_partial), batched per etree
-level so every level is ONE vmapped device program.  The Householder
-vectors V and taus of every front stay device-resident, so
+GEMMs — tpusparse.device.dense.qr_factor_scan/_partial), batched per
+(etree level, bucket shape) through module-level SHAPE-CACHED kernels
+(one compiled program serves every level, solve call, and engine
+instance; MultifrontalQR.prewarm AOT-compiles them concurrently).  The
+Householder vectors V and taus of every front stay device-resident, so
 
 * ``apply_qt`` / ``apply_q`` apply the EXACT orthogonal factor (the
   reference's cs_happly loop, as level-scheduled batched WY GEMMs),
@@ -47,7 +49,7 @@ from __future__ import annotations
 
 from collections import defaultdict
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -450,9 +452,6 @@ def plan_mfqr(A: CSCMatrix, order: int = 3, wmax: int = 64,
 #   assembly kernels    : fully-masked dummies (RM/CM = -1 add zero),
 #   r/rt-solve kernels  : trash-slot targets (colsJ = n hits the spare
 #                         slot; zero rhs keeps od updates exactly 0).
-
-import functools
-
 
 def _gbatch(x: int) -> int:
     """Round a dispatch batch up to {1,2,3,4,6,8,12,16,24,...}."""

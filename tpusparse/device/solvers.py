@@ -115,7 +115,7 @@ def _sparse_qr_solve(order: int, Atall: CSCMatrix, b: np.ndarray,
     columns or via TPUSPARSE_QR_ENGINE=csne.  Returns (ok, x)."""
     from .qr_tpu import SparseQR
     engine = os.environ.get("TPUSPARSE_QR_ENGINE", "auto")
-    mf_max = int(os.environ.get("TPUSPARSE_QR_MF_MAX", "32768"))
+    mf_max = int(os.environ.get("TPUSPARSE_QR_MF_MAX", "65536"))
     use_mf = engine == "mfqr" or (engine == "auto" and Atall.n <= mf_max)
     if use_mf:
         try:
