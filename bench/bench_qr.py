@@ -81,6 +81,18 @@ def run_mfqr(A, jax):
         f"({F.last_info}), normal-eq residual {rel:.2e}, "
         f"Q roundtrip {rt:.2e}")
 
+    # min-norm leg: the WIDE system A' x = bm reuses this factor (and
+    # every cached program) — x = Q [R'^{-1} bm_q; 0] via apply_q
+    bm = 1.0 + np.arange(A.n) / A.n
+    t0 = time.perf_counter()
+    xm = F.solve_minnorm(bm)
+    t_mn = time.perf_counter() - t0
+    rm = bm - gaxpy(F.At, xm, np.zeros(A.n))
+    mn_eq = np.abs(rm).max() / (nrmA * np.abs(xm).max()
+                                + np.abs(bm).max() + 1e-300)
+    log(f"min-norm solve (A' x = b, exact-Q apply_q path) {t_mn:.1f}s "
+        f"({F.last_info}), eq residual {mn_eq:.2e}")
+
     print(json.dumps({
         "metric": "mfqr_relay_clock_gflops",
         "value": round(gf_true, 2),
@@ -103,9 +115,11 @@ def run_mfqr(A, jax):
         "flops_padded": plan.flops_padded,
         "waste_ratio": round(plan.waste_ratio, 4),
         "normal_eq_residual": float(f"{rel:.3e}"),
+        "minnorm_eq_residual": float(f"{mn_eq:.3e}"),
         "q_roundtrip_f32": float(f"{rt:.3e}"),
         "solve_device_resident": True,
         "t_solve_s": round(t_solve, 2),
+        "t_minnorm_s": round(t_mn, 2),
         "solve_info": F.last_info,
         "backend": jax.default_backend(),
     }))
