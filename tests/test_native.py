@@ -179,3 +179,82 @@ def test_ss_pairs_matches_python(rng):
                 for nm in sa.xs[k]:
                     assert np.array_equal(sa.xs[k][nm], sb.xs[k][nm]), \
                         (k, nm)
+
+
+def test_maxtrans_scc_dmperm_match_python(rng):
+    """Native transversal trio (ts_maxtrans_core / ts_scc_core /
+    ts_dmperm_core) vs the pure-Python implementations: identical
+    matchings, permutations, and block structure on fuzz patterns
+    (reference: cs_maxtrans.c / cs_scc.c / cs_dmperm.c)."""
+    import importlib
+    D = importlib.import_module("tpusparse.symbolic.dmperm")
+    from tpusparse.core.matrix import CSCMatrix
+
+    def rand_pattern(m, n, density, seed):
+        r = np.random.default_rng(seed)
+        nnz = max(1, int(m * n * density))
+        i = r.integers(0, m, nnz)
+        j = r.integers(0, n, nnz)
+        key = np.unique(j.astype(np.int64) * m + i)
+        j, i = key // m, key % m
+        indptr = np.zeros(n + 1, np.int64)
+        np.cumsum(np.bincount(j, minlength=n), out=indptr[1:])
+        return CSCMatrix(m, n, indptr, i.astype(np.int64), None)
+
+    for seed in range(12):
+        m = int(rng.integers(1, 60))
+        n = int(rng.integers(1, 60))
+        for dens in (0.03, 0.15, 0.4):
+            A = rand_pattern(m, n, dens, seed * 7 + int(dens * 100))
+            sd = seed % 3
+            r1 = D.dmperm(A, sd)
+            jm1, im1 = D.maxtrans(A, sd)
+            s1 = D.scc(A) if m == n else None
+            os.environ["TPUSPARSE_NO_NATIVE"] = "1"
+            native._lib = None
+            try:
+                r2 = D.dmperm(A, sd)
+                jm2, im2 = D.maxtrans(A, sd)
+                s2 = D.scc(A) if m == n else None
+            finally:
+                del os.environ["TPUSPARSE_NO_NATIVE"]
+                native._lib = None
+            assert np.array_equal(jm1, jm2) and np.array_equal(im1, im2)
+            assert r1.nb == r2.nb
+            for f in ("p", "q", "r", "s", "rr", "cc"):
+                assert np.array_equal(getattr(r1, f), getattr(r2, f)), f
+            if s1 is not None:
+                assert (np.array_equal(s1.p, s2.p)
+                        and np.array_equal(s1.r, s2.r)
+                        and s1.nb == s2.nb)
+
+
+def test_maxtrans_warmstart_native(rng):
+    """Warm-started maxtrans (the MC64-analog entry point) through the
+    native core keeps the partial matching and matches the cold run's
+    cardinality."""
+    import importlib
+    D = importlib.import_module("tpusparse.symbolic.dmperm")
+    from tpusparse.core.matrix import CSCMatrix
+
+    r = np.random.default_rng(3)
+    m = n = 50
+    nnz = 400
+    i = r.integers(0, m, nnz)
+    j = r.integers(0, n, nnz)
+    key = np.unique(j.astype(np.int64) * m + i)
+    j, i = key // m, key % m
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(j, minlength=n), out=indptr[1:])
+    A = CSCMatrix(m, n, indptr, i.astype(np.int64), None)
+    jm_cold, im_cold = D.maxtrans(A, 0)
+    # partial matching: first half of the cold matching
+    im0 = np.full(n, -1, np.int64)
+    half = [jj for jj in range(n) if im_cold[jj] >= 0][: n // 4]
+    for jj in half:
+        im0[jj] = im_cold[jj]
+    jm_w, im_w = D.maxtrans(A, 0, imatch0=im0)
+    assert (jm_w >= 0).sum() == (jm_cold >= 0).sum()
+    # every valid matching property holds
+    ok = im_w >= 0
+    assert len(np.unique(im_w[ok])) == ok.sum()

@@ -95,7 +95,7 @@ def _front_q(VR, taus, z, kelim: int):
 
 def _ground(x: int) -> int:
     """Round a front dimension up to its bucket size: 1.5x-power-of-two
-    steps {8, 16, 24, 32, 48, 64, 96, 128} below 128 (33%/dim waste
+    steps {8, 12, 16, 24, 32, 48, 64, 96, 128} below 128 (33%/dim waste
     bound, few buckets for the many small fronts), multiples of 32
     above (12.5%/dim bound where the flops actually are — measured on
     the n=16,384 LS bench: waste 0.419 -> 0.184, issued flops -29%,
@@ -818,6 +818,15 @@ class MultifrontalQR:
                     "qrf", lambda P, T, S, ke=kelim: _k_factor(P, T, S, ke),
                     pools[b], taus[b], sl, static=(kelim,))
                 fi += 1
+        mn, finite = self._rdiag_check(pools)
+        self.rank_ok = finite and mn > 0.0
+        if finite:
+            self.pools, self.taus = pools, taus
+        return self.rank_ok
+
+    def _rdiag_check(self, pools):
+        """(min |R_kk|, all-finite) over the factored pools."""
+        plan, sched = self.plan, self._sched
         mn, finite = np.inf, True
         for b in plan.buckets:
             wv, WB = sched.rdiag[b]
@@ -825,10 +834,15 @@ class MultifrontalQR:
                                jnp.zeros(WB, jnp.float32))
             mn = min(mn, float(d))
             finite = finite and bool(fin)
-        self.rank_ok = finite and mn > 0.0
-        if finite:
-            self.pools, self.taus = pools, taus
-        return self.rank_ok
+        return mn, finite
+
+    def _check_rank(self) -> bool:
+        """Re-run the structural rank check on already-loaded pools
+        (checkpoint restore path for files predating the rank_ok field)."""
+        if self.pools is None:
+            return False
+        mn, finite = self._rdiag_check(self.pools)
+        return finite and mn > 0.0
 
     # ------------------------------------------------------- raw passes
     def _qt_pass(self, bpad):
@@ -963,6 +977,9 @@ class MultifrontalQR:
         floor is eps_f32*||r||)."""
         if not self.rank_ok:
             raise ValueError("rank deficient")
+        if refine_iters < 1:
+            raise ValueError("refine_iters must be >= 1 (the first "
+                             "iteration computes the base solution)")
         b = np.asarray(b, np.float64)
         plan = self.plan
         x = np.zeros(plan.n)
@@ -994,6 +1011,9 @@ class MultifrontalQR:
         removed to f64 grade as well."""
         if not self.rank_ok:
             raise ValueError("rank deficient")
+        if refine_iters < 1:
+            raise ValueError("refine_iters must be >= 1 (the first "
+                             "iteration computes the base solution)")
         b = np.asarray(b, np.float64)
         plan = self.plan
         x = np.zeros(plan.m)                        # len = cols of A_orig

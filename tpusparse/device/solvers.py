@@ -136,9 +136,9 @@ def _sparse_qr_solve(order: int, Atall: CSCMatrix, b: np.ndarray,
     cond_max = float(os.environ.get("TPUSPARSE_QR_COND_MAX", "1e6"))
     if F.cond_estimate() > cond_max:
         # Q-less CSNE at f32 is unsafe at this conditioning (augmented
-        # refinement stalls beyond ~1/eps_f32): fall back to the host
-        # sparse Householder engine (exact cs_qr semantics)
-        from ..numeric.solvers import qrsol as host_qrsol
+        # refinement stalls beyond ~1/eps_f32): the caller routes
+        # ok=None to the host sparse Householder engine (exact cs_qr
+        # semantics, numeric.solvers.qrsol)
         log.warning("SparseQR cond estimate > %g — using the host "
                     "Householder engine", cond_max)
         return None, None                          # caller routes to host

@@ -16,7 +16,8 @@ import numpy as np
 
 __all__ = ["available", "etree", "post", "counts", "amd_core",
            "rowpatterns", "chol_numeric", "lsolve", "ltsolve",
-           "ss_pairs", "edf"]
+           "ss_pairs", "edf", "maxtrans_core", "scc_core",
+           "dmperm_core"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_HERE, "libtsplanner.so")
@@ -72,6 +73,12 @@ def _load():
     lib.ts_invert.argtypes = [I, IP, IP, IP, IP]
     lib.ts_sympat.argtypes = [I, IP, IP, IP, IP]
     lib.ts_sympat.restype = ctypes.c_int64
+    lib.ts_maxtrans_core.argtypes = [I, I, IP, IP, I, IP, IP]
+    lib.ts_scc_core.argtypes = [I, IP, IP, IP, IP]
+    lib.ts_scc_core.restype = ctypes.c_int64
+    lib.ts_dmperm_core.argtypes = [I, I, IP, IP, IP, IP, IP, IP, IP, IP,
+                                   IP, IP]
+    lib.ts_dmperm_core.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -207,6 +214,41 @@ def amalg(starts, colptr, colrows, cnt, tau, small_w, wmax):
                  int(small_w), int(wmax), 1, sizes, mstarts, odptr,
                  odcat)
     return mstarts, odptr, odcat[:nod]
+
+
+def maxtrans_core(m, n, Cp, Ci, korder, jmatch):
+    """Cheap/augment maximum-transversal pass (planner.cpp
+    ts_maxtrans_core) over columns ``korder`` of the m x n pattern;
+    ``jmatch`` (int64, len m, pre-initialized) is updated IN PLACE."""
+    lib = _load()
+    korder = _c64(korder)
+    lib.ts_maxtrans_core(m, n, _c64(Cp), _c64(Ci), len(korder), korder,
+                         jmatch)
+
+
+def scc_core(n, Ap, Ai):
+    """Kosaraju SCC (planner.cpp ts_scc_core); returns (p, r, nb)."""
+    lib = _load()
+    p = np.empty(max(n, 1), np.int64)
+    r = np.empty(n + 1, np.int64)
+    nb = lib.ts_scc_core(n, _c64(Ap), _c64(Ai), p, r)
+    return p[:n], r[:nb + 1], int(nb)
+
+
+def dmperm_core(m, n, Ap, Ai, jmatch, imatch):
+    """Coarse + fine Dulmage-Mendelsohn given a maximum matching
+    (planner.cpp ts_dmperm_core); returns (p, q, r, s, nb, rr, cc)."""
+    lib = _load()
+    p = np.empty(max(m, 1), np.int64)
+    q = np.empty(max(n, 1), np.int64)
+    r = np.empty(m + 6, np.int64)
+    s = np.empty(n + 6, np.int64)
+    rr = np.empty(5, np.int64)
+    cc = np.empty(5, np.int64)
+    nb = lib.ts_dmperm_core(m, n, _c64(Ap), _c64(Ai), _c64(jmatch),
+                            _c64(imatch), p, q, r, s, rr, cc)
+    return (p[:m], q[:n], r[:nb + 1].copy(), s[:nb + 1].copy(), int(nb),
+            rr, cc)
 
 
 def edf(steps, rel, dl, U0):

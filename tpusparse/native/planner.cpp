@@ -800,6 +800,265 @@ void ts_amalg(i64 ngroups, const i64 *starts, const i64 *colptr,
   }
 }
 
+// ------------------------------------------- maxtrans / scc / dmperm
+// Native twins of tpusparse.symbolic.dmperm (csparse::cs_maxtrans /
+// cs_scc / cs_dmperm).  The Python wrappers keep orientation choice,
+// seed permutation, and warm-start handling so semantics (and parity
+// tests) are bit-identical to the Python implementations.
+
+// Augmenting-path DFS for one column (mirrors dmperm._augment / the
+// static cs_augment in cs_maxtrans.c; explicit j/i/position stacks).
+static void mt_augment(i64 k, const i64 *Ap, const i64 *Ai, i64 *jmatch,
+                       i64 *cheap, i64 *w, i64 *js, i64 *iss, i64 *ps) {
+  i64 head = 0;
+  js[0] = k;
+  bool found = false;
+  while (head >= 0) {
+    i64 j = js[head];
+    if (w[j] != k) {            // first visit to j on path k
+      w[j] = k;
+      i64 p = cheap[j];
+      i64 i = -1;
+      while (p < Ap[j + 1]) {   // try a cheap assignment (i, j)
+        i = Ai[p];
+        p++;
+        if (jmatch[i] == -1) {
+          found = true;
+          break;
+        }
+      }
+      cheap[j] = p;
+      if (found) {
+        iss[head] = i;
+        break;                  // augmenting path complete
+      }
+      ps[head] = Ap[j];         // no cheap match: start dfs of j
+    }
+    i64 p = ps[head];
+    bool advanced = false;
+    while (p < Ap[j + 1]) {
+      i64 i = Ai[p];
+      // all rows of column j are matched here (cheap pass exhausted
+      // the unmatched ones), so jmatch[i] >= 0
+      if (w[jmatch[i]] == k) {  // skip if jmatch[i] visited
+        p++;
+        continue;
+      }
+      ps[head] = p + 1;         // pause dfs of node j
+      iss[head] = i;            // i matched to j if path found
+      head++;
+      js[head] = jmatch[i];     // continue dfs at jmatch[i]
+      advanced = true;
+      break;
+    }
+    if (!advanced) head--;      // node j is done; pop
+  }
+  if (found)
+    for (i64 p = head; p >= 0; p--) jmatch[iss[p]] = js[p];
+}
+
+// Cheap/augment pass over columns korder[0..nk) of the m x n CSC
+// pattern.  jmatch (len m) must arrive pre-initialized: all -1, or a
+// warm-start partial matching (matched pairs are kept; augmenting
+// paths reroute them only when necessary).
+void ts_maxtrans_core(i64 m, i64 n, const i64 *Ap, const i64 *Ai,
+                      i64 nk, const i64 *korder, i64 *jmatch) {
+  (void)m;
+  std::vector<i64> cheap(Ap, Ap + n), w(n, -1), js(n), iss(n), ps(n);
+  for (i64 t = 0; t < nk; t++)
+    mt_augment(korder[t], Ap, Ai, jmatch, cheap.data(), w.data(),
+               js.data(), iss.data(), ps.data());
+}
+
+// Iterative DFS appending nodes in FINISH order; children marked on
+// discovery (mirrors symbolic.reach.dfs with pinv=None).
+static void scc_dfs(i64 j, const i64 *Gp, const i64 *Gi, char *marked,
+                    i64 *sn, i64 *sp, i64 *out, i64 *nout) {
+  i64 top = 0;
+  sn[0] = j;
+  sp[0] = 0;
+  marked[j] = 1;
+  while (top >= 0) {
+    i64 node = sn[top], pos = sp[top];
+    top--;
+    i64 lo = Gp[node], hi = Gp[node + 1];
+    bool advanced = false;
+    for (i64 p = lo + pos; p < hi; p++) {
+      i64 child = Gi[p];
+      if (marked[child]) continue;
+      marked[child] = 1;
+      top++;
+      sn[top] = node;
+      sp[top] = p - lo + 1;     // resume here later
+      top++;
+      sn[top] = child;
+      sp[top] = 0;
+      advanced = true;
+      break;
+    }
+    if (!advanced) out[(*nout)++] = node;   // node is finished
+  }
+}
+
+// Kosaraju SCC (twin of symbolic.dmperm.scc): DFS of A for finish
+// order, DFS of A' in reverse finish order; components sorted
+// naturally within a block, block order reversed so A(p,p) is block
+// UPPER triangular.  p_out len n, r_out capacity n+1; returns nb.
+i64 ts_scc_core(i64 n, const i64 *Ap, const i64 *Ai, i64 *p_out,
+                i64 *r_out) {
+  r_out[0] = 0;
+  if (n == 0) return 0;
+  std::vector<char> marked(n, 0);
+  std::vector<i64> sn(n), sp(n), finish(n);
+  i64 nf = 0;
+  for (i64 i = 0; i < n; i++)
+    if (!marked[i])
+      scc_dfs(i, Ap, Ai, marked.data(), sn.data(), sp.data(),
+              finish.data(), &nf);
+  // transpose pattern (counting sort)
+  i64 nnz = Ap[n];
+  std::vector<i64> Tp(n + 1, 0), Ti(std::max<i64>(nnz, 1)), wk(n);
+  for (i64 p = 0; p < nnz; p++) Tp[Ai[p] + 1]++;
+  for (i64 j = 0; j < n; j++) Tp[j + 1] += Tp[j];
+  for (i64 j = 0; j < n; j++) wk[j] = Tp[j];
+  for (i64 j = 0; j < n; j++)
+    for (i64 p = Ap[j]; p < Ap[j + 1]; p++) Ti[wk[Ai[p]]++] = j;
+  std::fill(marked.begin(), marked.end(), 0);
+  std::vector<i64> nodes(n);          // components, discovery order
+  std::vector<i64> cptr(1, 0);
+  i64 used = 0;
+  for (i64 t = n - 1; t >= 0; t--) {
+    i64 i = finish[t];
+    if (marked[i]) continue;
+    i64 start = used;
+    scc_dfs(i, Tp.data(), Ti.data(), marked.data(), sn.data(),
+            sp.data(), nodes.data(), &used);
+    std::sort(nodes.begin() + start, nodes.begin() + used);
+    cptr.push_back(used);
+  }
+  i64 nb = (i64)cptr.size() - 1;
+  i64 k = 0, b = 0;
+  for (i64 c = nb - 1; c >= 0; c--) {   // reversed discovery order
+    for (i64 p = cptr[c]; p < cptr[c + 1]; p++) p_out[k++] = nodes[p];
+    r_out[++b] = k;
+  }
+  return nb;
+}
+
+// Alternating-path BFS from unmatched nodes (mirrors the static _bfs /
+// cs_bfs): G is A (mark=1, from unmatched cols) or A' (mark=3, from
+// unmatched rows) with nq "columns".
+static void dm_bfs(i64 nq, const i64 *Gp, const i64 *Gi, i64 *wi,
+                   i64 *wj, i64 *queue, const i64 *imatch,
+                   const i64 *jmatch, i64 mark) {
+  i64 tail = 0;
+  for (i64 j = 0; j < nq; j++) {
+    if (imatch[j] >= 0) continue;     // skip matched j
+    wj[j] = 0;                        // j is in set C0 (R0)
+    queue[tail++] = j;
+  }
+  i64 head = 0;
+  while (head < tail) {
+    i64 j = queue[head++];
+    for (i64 pp = Gp[j]; pp < Gp[j + 1]; pp++) {
+      i64 i = Gi[pp];
+      if (wi[i] >= 0) continue;
+      wi[i] = mark;                   // i in set R1 (C3)
+      i64 j2 = jmatch[i];             // alternating path via match
+      if (wj[j2] >= 0) continue;
+      wj[j2] = mark;                  // j2 in set C1 (R3)
+      queue[tail++] = j2;
+    }
+  }
+}
+
+// Full Dulmage-Mendelsohn given a maximum matching (twin of
+// symbolic.dmperm.dmperm past the maxtrans call): coarse decomposition
+// by alternating BFS, fine decomposition = SCC of the perfectly
+// matched square submatrix, combined into block triangular form.
+// p len m, q len n, r capacity m+6, s capacity n+6, rr/cc len 5.
+// Returns nb.
+i64 ts_dmperm_core(i64 m, i64 n, const i64 *Ap, const i64 *Ai,
+                   const i64 *jmatch, const i64 *imatch, i64 *p, i64 *q,
+                   i64 *r, i64 *s, i64 *rr, i64 *cc) {
+  // transpose pattern for the mark=3 BFS
+  i64 nnz = Ap[n];
+  std::vector<i64> Tp(m + 1, 0), Ti(std::max<i64>(nnz, 1)), wk(m);
+  for (i64 pp = 0; pp < nnz; pp++) Tp[Ai[pp] + 1]++;
+  for (i64 i = 0; i < m; i++) Tp[i + 1] += Tp[i];
+  for (i64 i = 0; i < m; i++) wk[i] = Tp[i];
+  for (i64 j = 0; j < n; j++)
+    for (i64 pp = Ap[j]; pp < Ap[j + 1]; pp++) Ti[wk[Ai[pp]]++] = j;
+  std::vector<i64> wi(m, -1), wj(n, -1);
+  for (i64 k = 0; k < 5; k++) rr[k] = cc[k] = 0;
+  dm_bfs(n, Ap, Ai, wi.data(), wj.data(), q, imatch, jmatch, 1);
+  dm_bfs(m, Tp.data(), Ti.data(), wj.data(), wi.data(), p, jmatch,
+         imatch, 3);
+  // unmatched set C0
+  i64 kc = 0;
+  for (i64 j = 0; j < n; j++)
+    if (wj[j] == 0) q[kc++] = j;
+  cc[1] = kc;
+  // matched sets (R1,C1), (R2,C2), (R3,C3)
+  const i64 marks[3] = {1, -1, 3};
+  for (int which = 1; which <= 3; which++) {
+    i64 kc2 = cc[which], kr = rr[which - 1];
+    for (i64 j = 0; j < n; j++) {
+      if (wj[j] != marks[which - 1]) continue;
+      p[kr++] = imatch[j];
+      q[kc2++] = j;
+    }
+    cc[which + 1] = kc2;
+    rr[which] = kr;
+  }
+  // unmatched set R0
+  i64 kr = rr[3];
+  for (i64 i = 0; i < m; i++)
+    if (wi[i] == 0) p[kr++] = i;
+  rr[4] = kr;
+  // --- fine decomposition: SCC of C(R2, C2), C = A(p, q) -------------
+  std::vector<i64> ip(m);
+  for (i64 k = 0; k < m; k++) ip[p[k]] = k;
+  i64 nc = cc[3] - cc[2], r1 = rr[1], rr2 = rr[2], c2 = cc[2];
+  std::vector<i64> Sp(nc + 1, 0), Si;
+  Si.reserve(nnz);
+  for (i64 jj = 0; jj < nc; jj++) {
+    i64 col = q[c2 + jj];
+    i64 start = (i64)Si.size();
+    for (i64 pp = Ap[col]; pp < Ap[col + 1]; pp++) {
+      i64 i2 = ip[Ai[pp]];
+      if (i2 >= r1 && i2 < rr2) Si.push_back(i2 - r1);
+    }
+    std::sort(Si.begin() + start, Si.end());   // permute() sorts columns
+    Sp[jj + 1] = (i64)Si.size();
+  }
+  std::vector<i64> ps_(std::max<i64>(nc, 1)), rs_(nc + 1);
+  i64 nb1 = ts_scc_core(nc, Sp.data(), Si.data(), ps_.data(),
+                        rs_.data());
+  // --- combine coarse and fine -----------------------------------------
+  std::vector<i64> tmp(std::max<i64>(nc, 1));
+  for (i64 jj = 0; jj < nc; jj++) tmp[jj] = q[c2 + ps_[jj]];
+  for (i64 jj = 0; jj < nc; jj++) q[c2 + jj] = tmp[jj];
+  for (i64 jj = 0; jj < nc; jj++) tmp[jj] = p[r1 + ps_[jj]];
+  for (i64 jj = 0; jj < nc; jj++) p[r1 + jj] = tmp[jj];
+  i64 nb2 = 0;
+  r[0] = s[0] = 0;
+  if (cc[2] > 0) nb2++;               // leading block A(R1, [C0 C1])
+  for (i64 k = 0; k < nb1; k++) {     // fine blocks of A(R2, C2)
+    r[nb2] = rs_[k] + r1;
+    s[nb2] = rs_[k] + c2;
+    nb2++;
+  }
+  if (rr2 < m) {                      // trailing block A([R3 R0], C3)
+    r[nb2] = rr2;
+    s[nb2] = cc[3];
+    nb2++;
+  }
+  r[nb2] = m;
+  s[nb2] = n;
+  return nb2;
+}
+
 // EDF greedy assignment of units to steps (superscan planner): units
 // arrive sorted by deadline; each is placed at the earliest non-full
 // step >= its release ("next free step" union-find with path

@@ -102,12 +102,11 @@ def maxtrans(A: CSCMatrix, seed: int = 0, imatch0=None):
     Ap, Ai = A.indptr, A.indices
     if imatch0 is None:
         # quick return if the diagonal is zero-free
-        k = 0
-        for j in range(min(m, n)):
-            lo, hi = Ap[j], Ap[j + 1]
-            if np.any(Ai[lo:hi] == j):
-                k += 1
-        if k == min(m, n):
+        mn = min(m, n)
+        cols = np.repeat(np.arange(n, dtype=_IDX), np.diff(Ap))
+        hit = (Ai == cols) & (cols < mn)
+        k = len(np.unique(cols[hit]))
+        if k == mn:
             jmatch = np.concatenate([np.arange(k, dtype=_IDX),
                                      np.full(m - k, -1, dtype=_IDX)])
             imatch = np.concatenate([np.arange(k, dtype=_IDX),
@@ -126,28 +125,28 @@ def maxtrans(A: CSCMatrix, seed: int = 0, imatch0=None):
     cm, cn = C.m, C.n
     Cp, Ci = C.indptr, C.indices
     jm = np.full(cm, -1, dtype=_IDX)            # row -> col matching of C
-    todo = None
     if imatch0 is not None:
         ok0 = imatch0 >= 0
         jm[imatch0[ok0]] = np.where(ok0)[0]
-        todo = np.where(~ok0)[0]
-    cheap = Cp[:cn].copy()
-    w = np.full(cn, -1, dtype=_IDX)
-    js = np.zeros(cn, dtype=_IDX)
-    iss = np.zeros(cn, dtype=_IDX)
-    ps = np.zeros(cn, dtype=_IDX)
-    if todo is not None:
-        for kk in todo:
-            _augment(int(kk), Cp, Ci, jm, cheap, w, js, iss, ps)
+        korder = np.where(~ok0)[0].astype(_IDX)
     else:
         q = randperm(cn, seed)
-        for kk in range(cn):
-            _augment(int(q[kk]) if q is not None else kk,
-                     Cp, Ci, jm, cheap, w, js, iss, ps)
+        korder = (np.arange(cn, dtype=_IDX) if q is None
+                  else np.asarray(q, dtype=_IDX))
+    from .. import native
+    if native.available():                      # C++ twin (ts_maxtrans_core)
+        native.maxtrans_core(cm, cn, Cp, Ci, korder, jm)
+    else:
+        cheap = Cp[:cn].copy()
+        w = np.full(cn, -1, dtype=_IDX)
+        js = np.zeros(cn, dtype=_IDX)
+        iss = np.zeros(cn, dtype=_IDX)
+        ps = np.zeros(cn, dtype=_IDX)
+        for kk in korder:
+            _augment(int(kk), Cp, Ci, jm, cheap, w, js, iss, ps)
     im = np.full(cn, -1, dtype=_IDX)            # col -> row matching of C
-    for i in range(cm):
-        if jm[i] >= 0:
-            im[jm[i]] = i
+    okr = jm >= 0
+    im[jm[okr]] = np.where(okr)[0]
     if trans:                                   # C = A': swap roles
         return im, jm
     return jm, im
@@ -162,6 +161,11 @@ def scc(A: CSCMatrix) -> DmPermResult:
     block nodes are sorted in natural order, as in the reference.
     """
     n = A.n
+    from .. import native
+    if native.available():                      # C++ twin (ts_scc_core)
+        p, r, nb = native.scc_core(n, A.indptr, A.indices)
+        return DmPermResult(p=p, q=np.arange(n, dtype=_IDX),
+                            r=r, s=r.copy(), nb=nb)
     marked = np.zeros(n, dtype=bool)
     finish: list = []
     for i in range(n):
@@ -256,6 +260,11 @@ def dmperm(A: CSCMatrix, seed: int = 0) -> DmPermResult:
     perfectly-matched square submatrix) -> block triangular form."""
     m, n = A.m, A.n
     jmatch, imatch = maxtrans(A, seed)
+    from .. import native
+    if native.available():                      # C++ twin (ts_dmperm_core)
+        p, q, r, s, nb, rr, cc = native.dmperm_core(
+            m, n, A.indptr, A.indices, jmatch, imatch)
+        return DmPermResult(p=p, q=q, r=r, s=s, nb=nb, rr=rr, cc=cc)
     p = np.zeros(m, dtype=_IDX)
     q = np.zeros(n, dtype=_IDX)
     r = np.zeros(m + 6, dtype=_IDX)

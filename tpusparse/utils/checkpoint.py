@@ -256,7 +256,8 @@ def save_mfqr_factor(path: str, F) -> None:
     if F.pools is None:
         raise ValueError("factor() first")
     plan = F.plan
-    d = {"q": plan.q, "n": np.array([plan.n]), "m": np.array([plan.m])}
+    d = {"q": plan.q, "n": np.array([plan.n]), "m": np.array([plan.m]),
+         "rank_ok": np.array([1 if F.rank_ok else 0])}
     for b in plan.buckets:
         key = f"{b[0]}_{b[1]}"
         d[f"pool_{key}"] = np.asarray(F.pools[b])
@@ -285,7 +286,13 @@ def load_mfqr_factor(path: str, A: CSCMatrix, **plan_kw):
         pools[b] = jnp.asarray(z[f"pool_{key}"])
         taus[b] = jnp.asarray(z[f"taus_{key}"])
     F.pools, F.taus = pools, taus
-    F.rank_ok = True
+    # Older checkpoints predate the rank_ok field: fall back to re-running
+    # the rdiag min-|diag| check so a singular factor cannot round-trip as
+    # rank-OK (solve_ls would silently return inf/nan).
+    if "rank_ok" in z:
+        F.rank_ok = bool(int(z["rank_ok"][0]))
+    else:
+        F.rank_ok = F._check_rank()
     return F
 
 
