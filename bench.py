@@ -87,6 +87,118 @@ def grid_spd_3d_dof(g: int, dof: int):
                      A.data), A
 
 
+def conv_diff_3d(g: int):
+    """Unsymmetric 3D convection-diffusion (upwind convection term) —
+    the SuperscanLU bench family (BASELINE.json configs[2] at scale)."""
+    import scipy.sparse as sp
+
+    n = g * g * g
+    main = 7.0 * np.ones(n)
+    ex_lo = -1.4 * np.ones(n - 1)
+    ex_hi = -0.6 * np.ones(n - 1)
+    mask = np.arange(1, n) % g == 0
+    ex_lo[mask] = 0.0
+    ex_hi[mask] = 0.0
+    ey = -np.ones(n - g)
+    ey[((np.arange(g, n) // g) % g) == 0] = 0.0
+    ez = -np.ones(n - g * g)
+    A = sp.diags([main, ex_hi, ex_lo, ey, ey, ez, ez],
+                 [0, 1, -1, g, -g, g * g, -g * g], format="csc")
+    A.sort_indices()
+    from tpusparse.core import CSCMatrix
+
+    return CSCMatrix(n, n, A.indptr, A.indices, A.data)
+
+
+def sparse_ls_problem(m: int, n: int, seed: int = 5):
+    """Sparse overdetermined LS (ash219-class structure at scale):
+    each row touches a few nearby columns — the mfqr bench family."""
+    rng = np.random.default_rng(seed)
+    per_row = 4
+    rows = np.repeat(np.arange(m), per_row)
+    base = (np.arange(m) * n) // m
+    offs = rng.integers(0, max(n // 16, 2), (m, per_row))
+    offs[:, 0] = 0          # staircase column always present: with
+    cols = (base[:, None] + offs) % n   # m >= n, base covers every col
+    cols = cols.reshape(-1)
+    vals = rng.normal(size=m * per_row)
+    key = np.unique(rows.astype(np.int64) * n + cols)
+    rows, cols = key // n, key % n
+    vals = rng.normal(size=rows.size) + 0.1
+    order = np.lexsort((rows, cols))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(cols, minlength=n), out=indptr[1:])
+    from tpusparse.core import CSCMatrix
+
+    return CSCMatrix(m, n, indptr, rows.astype(np.int64), vals)
+
+
+def bench_lu_row():
+    """SuperscanLU leg: unsymmetric 3D convection-diffusion with
+    within-panel threshold pivoting and a device-resident solve."""
+    from tpusparse.demo import resid_metric
+    from tpusparse.device.superscan_lu import SuperscanLU
+    cpu = bool(os.environ.get("TPUSPARSE_BENCH_CPU"))
+    g = int(os.environ.get("TPUSPARSE_BENCH_LU_G", "10" if cpu else "16"))
+    A = conv_diff_3d(g)
+    t0 = time.perf_counter()
+    F = SuperscanLU(A, order=1, max_segments=8)
+    t_plan = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ok = F.factor()
+    t_factor = time.perf_counter() - t0
+    b = 1.0 + np.arange(A.n) / A.n
+    x = F.solve(b)
+    r = resid_metric(A, x, b)
+    log(f"lu leg: n={A.n} ok={ok} factor(first) {t_factor:.1f}s "
+        f"waste={F.plan.waste_ratio:.3f} resid={r:.2e}")
+    return {
+        "engine": "superscan_lu", "n": A.n, "nnz": A.nnz,
+        "metric": "lu_flops_true", "value": F.plan.flops_true,
+        "unit": "flop", "value_semantics": "structural",
+        "flops_padded": F.plan.flops_padded,
+        "tile_waste_ratio": round(F.plan.waste_ratio, 4),
+        "t_factor_first_s": round(t_factor, 2),
+        "t_plan_s": round(t_plan, 2),
+        "refined_residual": float(f"{r:.3e}"),
+    }
+
+
+def bench_qr_row():
+    """MultifrontalQR leg: sparse LS with the TRUE-Householder-Q
+    engine (exact-Q augmented refinement)."""
+    from tpusparse.device.mfqr import MultifrontalQR
+    cpu = bool(os.environ.get("TPUSPARSE_BENCH_CPU"))
+    m = int(os.environ.get("TPUSPARSE_BENCH_QR_M",
+                           "4096" if cpu else "16384"))
+    n = int(os.environ.get("TPUSPARSE_BENCH_QR_N",
+                           "2048" if cpu else "8192"))
+    A = sparse_ls_problem(m, n)
+    t0 = time.perf_counter()
+    F = MultifrontalQR(A, order=3)
+    t_plan = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ok = F.factor()
+    t_factor = time.perf_counter() - t0
+    b = np.sin(np.arange(m) * 0.37) + 1.0
+    x = F.solve_ls(b)
+    ne = F.last_info.get("ne_resid", float("nan"))
+    log(f"qr leg: {m}x{n} ok={ok} factor(first) {t_factor:.1f}s "
+        f"waste={F.plan.waste_ratio:.3f} ne_resid={ne:.2e}")
+    return {
+        "engine": "mfqr", "m": m, "n": n, "nnz": A.nnz,
+        "metric": "qr_flops_true", "value": int(F.plan.flops_true),
+        "unit": "flop", "value_semantics": "structural",
+        "flops_padded": int(F.plan.flops_padded),
+        "tile_waste_ratio": round(F.plan.waste_ratio, 4),
+        "t_factor_first_s": round(t_factor, 2),
+        "t_plan_s": round(t_plan, 2),
+        "qr_fronts": len(F.plan.fronts),
+        "ne_resid": float(f"{ne:.3e}"),
+    }
+
+
 def main():
     if os.environ.get("TPUSPARSE_BENCH_CPU"):
         os.environ.setdefault("XLA_FLAGS",
@@ -178,7 +290,7 @@ def main():
         F = SuperscanCholesky(
             A, order=int(os.environ.get("TPUSPARSE_BENCH_SN_ORDER", "1")),
             max_segments=int(os.environ.get("TPUSPARSE_BENCH_SEGMENTS",
-                                            "32")))
+                                            "8")))
         plan = F.plan
         t_plan = time.perf_counter() - t0
         log(f"device plan[{engine}]: {t_plan:.3f}s, "
@@ -190,12 +302,16 @@ def main():
         pool0 = {pw: jnp.asarray(v) for pw, v in plan.pool_init.items()}
         segs_ne = [s for s in plan.segments if s.xs]
         seg_keys = [tuple(sorted(s.xs)) for s in segs_ne]
-        seg_fns = [_segment_factor(k, scratch_rows=s.scratch_rows)
+        seg_fns = [_segment_factor(k, scratch_rows=s.scratch_rows,
+                                   ladders=s.ladders)
                    for k, s in zip(seg_keys, segs_ne)]
-        xs_lists = [
-            {k: {nm: jnp.asarray(a) for nm, a in s.xs[k].items()}
-             for k in ks}
-            for s, ks in zip(segs_ne, seg_keys)]
+        xs_lists = []
+        for s, ks in zip(segs_ne, seg_keys):
+            xseg = {k: {nm: jnp.asarray(a) for nm, a in s.xs[k].items()}
+                    for k in ks}
+            for k, lvl in s.lvls.items():
+                xseg[k]["lvl"] = jnp.asarray(lvl)
+            xs_lists.append(xseg)
 
         def raw_factor(pools, xs_list):
             for fn, xseg in zip(seg_fns, xs_list):
@@ -400,16 +516,51 @@ def main():
     log(f"spmv: {t_spmv*1e6:.1f} us -> {gbs:.1f} GB/s (min-bytes), "
         f"waste={sp_plan.waste_ratio:.3f}")
 
+    # ---- multi-engine rows (VERDICT r3 item 7): LU + QR legs so every
+    # flagship engine has a driver-parsed round-over-round metric ------
+    rows = [{
+        "engine": "superscan_chol", "n": n, "nnz": A.nnz,
+        "lnz": int(Sy.lnz),
+        "metric": "chol_relay_clock_gflops", "value": round(gflops, 2),
+        "unit": "GFLOP/s(relay-clock,f32,true-flops)",
+        "value_semantics": "relay_clock",
+        "flops_true": plan.flops_true,
+        "flops_padded": plan.flops_padded,
+        "tile_waste_ratio": round(plan.waste_ratio, 4),
+        "slot_occupancy": round(getattr(plan, "slot_occupancy", 1.0), 4),
+        "programs": int(getattr(plan, "n_program_sigs",
+                                len(plan.segments))
+                        if engine == "superscan" else 0),
+        "refined_residual": float(f"{r:.3e}"),
+    }, {
+        "engine": "spmv", "n": A_sp.n, "nnz": A_sp.nnz,
+        "metric": "spmv_gbs_min_bytes", "value": round(gbs, 2),
+        "unit": "GB/s(relay-clock,min-bytes)",
+        "value_semantics": "relay_clock",
+        "mode": sp_plan.mode,
+        "tile_waste_ratio": round(sp_plan.waste_ratio, 4),
+    }]
+    if os.environ.get("TPUSPARSE_BENCH_MULTI", "1") != "0":
+        for fn in (bench_lu_row, bench_qr_row):
+            try:
+                rows.append(fn())
+            except Exception as exc:           # a leg must never kill bench
+                log(f"{fn.__name__} failed: {type(exc).__name__}: {exc}")
+                rows.append({"engine": fn.__name__, "error": str(exc)})
+
     print(json.dumps({
         # 'relay_clock' names the caveat explicitly: axon wall-clock is
         # non-physical (BASELINE.md probe) — valid round-over-round on
         # the unchanged harness, NOT as physical GFLOP/s; score
-        # structurally via flops_true / tile_waste_ratio / residual
+        # structurally via flops_true / tile_waste_ratio / residual.
+        # vs_baseline is the same non-physical relay-clock ratio vs the
+        # pure-Python host engine — demoted: see value_semantics.
         "metric": "supernodal_cholesky_relay_clock_gflops",
         "value": round(gflops, 2),
         "unit": "GFLOP/s(relay-clock,f32,true-flops)",
         "value_semantics": "relay_clock",
         "vs_baseline": round(t_host / t_dev, 2),
+        "vs_baseline_semantics": "relay_clock_ratio_nonphysical",
         "n": n,
         "nnz": A.nnz,
         "lnz": int(Sy.lnz),
@@ -423,6 +574,7 @@ def main():
         "spmv_gbs_min_bytes": round(gbs, 2),
         "engine": engine,
         "backend": jax.default_backend(),
+        "metrics": rows,
     }))
 
 

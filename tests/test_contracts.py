@@ -14,7 +14,8 @@ def test_bench_json_contract():
     env = dict(os.environ)
     env.update(TPUSPARSE_BENCH_CPU="1", TPUSPARSE_BENCH_N="512",
                TPUSPARSE_BENCH_BLOCK="32", TPUSPARSE_BENCH_SPMV_N="1024",
-               TPUSPARSE_BENCH_ITERS="1")
+               TPUSPARSE_BENCH_ITERS="1", TPUSPARSE_BENCH_LU_G="6",
+               TPUSPARSE_BENCH_QR_M="256", TPUSPARSE_BENCH_QR_N="128")
     out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                          capture_output=True, text=True, env=env,
                          timeout=420)
@@ -26,6 +27,16 @@ def test_bench_json_contract():
         assert key in d, key
     assert d["value"] > 0
     assert d["refined_residual"] < 1e-12
+    # multi-engine rows (VERDICT r3 item 7): every flagship engine has
+    # a driver-parsed round-over-round metric with value semantics
+    rows = d["metrics"]
+    assert len(rows) >= 4
+    engines = {r.get("engine") for r in rows}
+    assert {"superscan_chol", "spmv", "superscan_lu",
+            "mfqr"} <= engines, engines
+    for r in rows:
+        assert "error" not in r, r
+        assert "value_semantics" in r
 
 
 def test_graft_entry_contract():

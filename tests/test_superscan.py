@@ -51,7 +51,9 @@ def test_band_matrix(rng):
     F = SuperscanCholesky(A, order=0, wmax=16, tau=0.9, small_w=4,
                           max_segments=6)
     p = F.plan
-    assert p.nlevels > 3 * len(p.segments)     # program << tree depth
+    # compiled-program count << tree depth (cluster mode: segments are
+    # chunks, but their shape signatures cluster to <= max_segments)
+    assert p.nlevels > 3 * p.n_program_sigs
     assert F.factor()
     b = rng.normal(size=n)
     x = F.solve(b)
@@ -254,3 +256,69 @@ def test_solve_schedule_byte_splitting(rng, monkeypatch):
     x_split = F2.solve(b)
     assert resid(d, x_split, b) < 1e-12
     assert np.allclose(x_ref, x_split, rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("mode", ["cluster", "dp"])
+def test_segmentation_modes_agree(rng, mode, monkeypatch):
+    """Both segmentation modes (VERDICT r3 item 2: cluster = fixed-S
+    chunks clustered to <= TPUSPARSE_SEG_PROGRAMS shape signatures; dp
+    = one program per DP segment) factor and solve to reference
+    grade, and the cluster mode respects its program budget."""
+    monkeypatch.setenv("TPUSPARSE_SEG_MODE", mode)
+    d, A = _spd(rng, 220, 0.05)
+    F = SuperscanCholesky(A, order=1, wmax=16, tau=0.9, small_w=4,
+                          max_segments=12)
+    p = F.plan
+    if mode == "cluster":
+        assert p.n_program_sigs <= 8          # TPUSPARSE_SEG_PROGRAMS
+    assert F.factor()
+    b = rng.normal(size=A.n)
+    x = F.solve(b)
+    assert resid(d, x, b) < 1e-12
+
+
+def test_switch_ladders_match_mask_mode(rng, monkeypatch):
+    """The runtime-sized switch ladders (lax.switch over batch slices)
+    must be numerically IDENTICAL to full-capacity mask mode — idle
+    slots contribute exact zeros either way."""
+    d, A = _spd(rng, 150, 0.08)
+    b = rng.normal(size=A.n)
+    monkeypatch.setenv("TPUSPARSE_SWITCH", "0")
+    F0 = SuperscanCholesky(A, order=1, wmax=16, small_w=4)
+    assert F0.factor()
+    x0 = np.asarray(F0._solve_f32(b))
+    monkeypatch.setenv("TPUSPARSE_SWITCH", "1")
+    monkeypatch.setenv("TPUSPARSE_SWITCH_MIN_FLOPS", "0")  # force on
+    F1 = SuperscanCholesky(A, order=1, wmax=16, small_w=4)
+    assert any(s.ladders for s in F1.plan.segments)
+    assert F1.factor()
+    x1 = np.asarray(F1._solve_f32(b))
+    assert np.array_equal(x0, x1)              # bit-identical f32
+
+
+def test_solve_slot_cap_splits_steps(rng, monkeypatch):
+    """TPUSPARSE_SOLVE_SLOT_CAP splits high-capacity solve steps along
+    the slot axis (VERDICT r3 item 3: the axon worker faults on
+    oversized per-step extents at coarse segmentation).  The capped
+    schedule must produce the bit-identical f32 solve."""
+    from tpusparse.device.superscan import _solve_xs
+    d, A = _spd(rng, 200, 0.1)
+    b = rng.normal(size=A.n)
+    F = SuperscanCholesky(A, order=1, wmax=16, small_w=4)
+    assert F.factor()
+    x0 = np.asarray(F._solve_f32(b))
+    u0 = max(next(iter(dd.values())).shape[1]
+             for s in _solve_xs(F.plan) for dd in s.values())
+    assert u0 > 1                      # something to cap
+    monkeypatch.setenv("TPUSPARSE_SOLVE_SLOT_CAP", "1")
+    sched = _solve_xs(F.plan)
+    assert all(next(iter(dd.values())).shape[1] <= 1
+               for s in sched for dd in s.values())
+    F._solve_sched = None              # rebuild with the cap
+    F._sched_dev_cache = None if hasattr(F, "_sched_dev_cache") else None
+    x1 = np.asarray(F._solve_f32(b))
+    # not bit-identical (the od scatter-adds re-associate across the
+    # sub-steps) but f32-close, and the refined solve is reference-grade
+    assert np.allclose(x0, x1, rtol=3e-4, atol=1e-6)
+    x = F.solve(b)
+    assert resid(d, x, b) < 1e-12

