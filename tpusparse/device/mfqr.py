@@ -798,6 +798,23 @@ class MultifrontalQR:
         dispatch (factor + Q'/Q + R/R' solves) via device.compilepool —
         on the axon relay, serial compiles are the first-run wall.
         Returns the number of distinct programs ensured."""
+        jobs = self._kernel_jobs()
+        from .compilepool import compile_many
+        compile_many(_K_CACHE, jobs)
+        return len({sig for sig, _f, _a in jobs})
+
+    @property
+    def n_programs(self) -> int:
+        """Distinct compiled-program signatures this plan dispatches —
+        the first-run compile-wall unit (~24 s/program on the relay).
+        The shape-menu clustering (plan_mfqr TPUSPARSE_QR_SHAPES)
+        exists to bound this; unbounded menus compiled 3,637 programs
+        at n=65,536 (VERDICT r3 item 1)."""
+        return len({sig for sig, _f, _a in self._kernel_jobs()})
+
+    def _kernel_jobs(self):
+        """(sig, fn, shape-struct args) for every kernel program the
+        factor + solves dispatch, without compiling anything."""
         plan, sched = self.plan, self._sched
         f32, i32 = jnp.float32, jnp.int32
         S = jax.ShapeDtypeStruct
@@ -849,9 +866,7 @@ class MultifrontalQR:
         for _, b, sl, cj, od, wv in sched.rsolve:
             add("rs", _k_rsolve, pool_s[b], sl, cj, od, wv, xpad_s, y_s)
             add("rts", _k_rtsolve, pool_s[b], sl, cj, od, wv, xpad_s)
-        from .compilepool import compile_many
-        compile_many(_K_CACHE, jobs)
-        return len({sig for sig, _f, _a in jobs})
+        return jobs
 
     def factor(self) -> bool:
         plan, sched = self.plan, self._sched

@@ -331,8 +331,25 @@ def _build_sell(A: CSCMatrix, max_s: int = None, max_tw: int = 4):
             y = y.at[sr_d].add(sv_d * xp[sc_d])
         return y
 
+    # one-shot permutation transport (VERDICT r3 item 6): a serialized
+    # arbitrary n-gather runs at ~11 ns/element on the axon relay
+    # (1481 us at n=131k inside a fori_loop) while lax.sort_key_val
+    # with the inverse permutation as keys applies the SAME permutation
+    # in 654 us — measured /tmp permutation study, round 4; chunked-2D
+    # gathers, scatters, take_along_axis (1550 us/stage) and a 3-stage
+    # Hall decomposition all measured worse.  Sort is O(n log n) work,
+    # so it only wins on the relay — gather mode kept for CPU.
+    perm_mode = os.environ.get("TPUSPARSE_SELL_PERMUTE") or \
+        ("sort" if jax.default_backend() != "cpu" else "gather")
+
     def apply_fn(sr_d, sc_d, sv_d, pvec_d, piv_d, *bufs_and_x):
         *flat, x = bufs_and_x
+        if perm_mode == "sort":
+            # xp[i] = x[p[i]]  <=>  values of x sorted by keys pinv
+            _, xp = jax.lax.sort_key_val(piv_d, x)
+            yp = kernel_fn(sr_d, sc_d, sv_d, *flat, xp)
+            _, y = jax.lax.sort_key_val(pvec_d, yp)
+            return y
         xp = x[pvec_d]
         return kernel_fn(sr_d, sc_d, sv_d, *flat, xp)[piv_d]
 
