@@ -117,7 +117,9 @@ def sparse_ls_problem(m: int, n: int, seed: int = 5):
     per_row = 4
     rows = np.repeat(np.arange(m), per_row)
     base = (np.arange(m) * n) // m
-    offs = rng.integers(0, max(n // 16, 2), (m, per_row))
+    # narrow column window (ash219-class bands): keeps A'A sparse so
+    # the order-3 AMD plan stays O(n)-ish at large n
+    offs = rng.integers(0, min(32, max(n // 64, 2)), (m, per_row))
     offs[:, 0] = 0          # staircase column always present: with
     cols = (base[:, None] + offs) % n   # m >= n, base covers every col
     cols = cols.reshape(-1)
