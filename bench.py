@@ -286,13 +286,36 @@ def main():
     engine = os.environ.get("TPUSPARSE_BENCH_ENGINE", "superscan")
     t0 = time.perf_counter()
     xs_lists = None
+    cl_plan = None
     if engine == "superscan":
         from tpusparse.device.superscan import (SuperscanCholesky,
+                                                plan_superscan,
                                                 _segment_factor)
-        F = SuperscanCholesky(
-            A, order=int(os.environ.get("TPUSPARSE_BENCH_SN_ORDER", "1")),
-            max_segments=int(os.environ.get("TPUSPARSE_BENCH_SEGMENTS",
-                                            "8")))
+        # The timed canonical leg uses the dp/no-ladder schedule: the
+        # relay-clock REPS loop needs the COMBINED program, and switch
+        # ladders inline ~7,000 branch bodies into it (26+ min relay
+        # compile wall, measured).  The cluster+ladder schedule is the
+        # production default (per-segment signature-cached dispatch);
+        # its structural metrics are reported alongside below.
+        bench_order = int(os.environ.get("TPUSPARSE_BENCH_SN_ORDER", "1"))
+        bench_segs = int(os.environ.get("TPUSPARSE_BENCH_SEGMENTS", "8"))
+        _env_pin = {"TPUSPARSE_SEG_MODE": "dp", "TPUSPARSE_SWITCH": "0"}
+        _env_old = {k: os.environ.get(k) for k in _env_pin}
+        os.environ.update(_env_pin)
+        try:
+            F = SuperscanCholesky(A, order=bench_order,
+                                  max_segments=bench_segs)
+        finally:
+            for k, v in _env_old.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        cl_plan = plan_superscan(A, order=bench_order, max_segments=30)
+        log(f"cluster schedule (production default): "
+            f"waste={cl_plan.waste_ratio:.3f}, "
+            f"occupancy={cl_plan.slot_occupancy:.3f}, "
+            f"programs={cl_plan.n_program_sigs}")
         plan = F.plan
         t_plan = time.perf_counter() - t0
         log(f"device plan[{engine}]: {t_plan:.3f}s, "
@@ -392,8 +415,16 @@ def main():
         ws_bytes = (sum(v.nbytes for v in plan.pool_init.values())
                     + sum(a.nbytes for s in plan.segments
                           for d in s.xs.values() for a in d.values()))
-        if ws_bytes < int(os.environ.get("TPUSPARSE_BENCH_COMBINED_MAX",
-                                         str(150 << 20))):
+        # switch-ladder plans inline every segment's branch bodies into
+        # the combined program — the relay compile walls at ~1,400
+        # bodies (observed 26+ min at canonical scale).  The
+        # per-segment path compiles each SIGNATURE once instead.
+        n_bodies = sum(len(lad) for s in plan.segments
+                       for lad in s.ladders.values())
+        if (ws_bytes < int(os.environ.get("TPUSPARSE_BENCH_COMBINED_MAX",
+                                          str(150 << 20)))
+                and n_bodies <= int(os.environ.get(
+                    "TPUSPARSE_BENCH_COMBINED_BODIES", "256"))):
             t0 = time.perf_counter()
             out = factor_loop(pool0, xs_lists)
             jax.block_until_ready(out)
@@ -404,8 +435,9 @@ def main():
             def run_once():
                 return factor_loop(pool0, xs_lists)
         else:
-            log(f"working set {ws_bytes>>20}MB — using per-segment "
-                "programs (combined mega-program faults the relay)")
+            log(f"working set {ws_bytes>>20}MB, {n_bodies} ladder "
+                "bodies — using per-segment programs (the combined "
+                "mega-program faults or compile-walls the relay)")
             from tpusparse.device.superscan import _factor as _ss_factor
             REPS = 1
             t0 = time.perf_counter()
@@ -572,6 +604,15 @@ def main():
         "flops_padded": plan.flops_padded,
         "tile_waste_ratio": round(plan.waste_ratio, 4),
         "slot_occupancy": round(getattr(plan, "slot_occupancy", 1.0), 4),
+        # the production (cluster+ladder) schedule's structural
+        # metrics — the timed leg above pins the dp/no-ladder schedule
+        # because only that one can run the combined REPS program
+        "cluster_waste_ratio": (round(cl_plan.waste_ratio, 4)
+                                if cl_plan is not None else None),
+        "cluster_occupancy": (round(cl_plan.slot_occupancy, 4)
+                              if cl_plan is not None else None),
+        "cluster_programs": (cl_plan.n_program_sigs
+                             if cl_plan is not None else None),
         "refined_residual": float(f"{r:.3e}"),
         "spmv_gbs_min_bytes": round(gbs, 2),
         "engine": engine,

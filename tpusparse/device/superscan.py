@@ -214,6 +214,18 @@ def _full_ladder(U: int) -> Tuple[int, ...]:
             break
     if vals[-1] != U:
         vals.append(U)
+    # Branch-count cap: every lax.switch branch is a separately
+    # compiled body over the full pools dict, so total compile work is
+    # sum(branches) across phases x programs — the axon relay compiles
+    # slowly enough that an uncapped ladder (20+ branches/phase) walls
+    # the first call.  Downsample geometrically, keeping 0 and U.
+    cap = int(os.environ.get("TPUSPARSE_SWITCH_BRANCHES", "6"))
+    if cap > 0 and len(vals) > cap:
+        keep = {0, vals[-1]}
+        pos = np.unique(np.round(
+            np.linspace(1, len(vals) - 1, cap - 1)).astype(int))
+        keep.update(vals[i] for i in pos)
+        vals = sorted(keep)
     return tuple(vals)
 
 
