@@ -781,17 +781,57 @@ class MultifrontalQR:
     kernels, so compiled programs are shared across etree levels,
     repeated solves, and other MultifrontalQR instances."""
 
-    def __init__(self, A: CSCMatrix, order: int = 3, **plan_kw):
+    def __init__(self, A: CSCMatrix, order: int = 3, dispatch: str = None,
+                 **plan_kw):
         if A.m < A.n:
             raise ValueError("m >= n required (caller factors A')")
+        import os as _os
         self.A = A
         self.At = transpose(A, values=True)
         self.plan = plan_mfqr(A, order=order, **plan_kw)
-        self._sched = _DeviceSched(self.plan)
+        # 'group' (default): superscan-style stacked runtime schedules —
+        # one compiled program per (kernel family, bucket shape), flat
+        # contribution buffers instead of shape-pair assembly kernels.
+        # 'bucket': the per-(level, bucket, batch) dispatch (legacy; the
+        # sharded mesh path builds its one whole-mesh program from it).
+        self.dispatch = dispatch or _os.environ.get(
+            "TPUSPARSE_QR_DISPATCH", "group")
+        self._sched_cache = None
+        self._gsched_cache = None
+        # rank-check maps (tiny; independent of the dispatch engine)
+        i32 = np.int32
+        wb_all = {}
+        for f in self.plan.fronts:
+            wb_all.setdefault(
+                f.bucket, np.zeros(self.plan.bucket_count[f.bucket],
+                                   i32))[f.slot] = f.w
+        self._rdiag_maps = {}
+        for b, wv in wb_all.items():
+            WB = min(b[0], b[1], max(int(wv.max()), 1))
+            self._rdiag_maps[b] = (jnp.asarray(wv), WB)
+        self._pass_rows = (jnp.asarray(self.plan.pass_rows.astype(i32))
+                           if self.plan.pass_rows.size else None)
+        self._pass_slots = (jnp.asarray(self.plan.pass_slots.astype(i32))
+                            if self.plan.pass_rows.size else None)
         self.pools = None
         self.taus = None
         self.rank_ok = False
         self.last_info = {}
+
+    @property
+    def _sched(self):
+        """Bucket-keyed device schedule (built on first use: the
+        sharded mesh path and the legacy dispatch consume it)."""
+        if self._sched_cache is None:
+            self._sched_cache = _DeviceSched(self.plan)
+        return self._sched_cache
+
+    @property
+    def _gsched(self):
+        if self._gsched_cache is None:
+            from .mfqr_group import build_group_sched
+            self._gsched_cache = build_group_sched(self.plan)
+        return self._gsched_cache
 
     def prewarm(self) -> int:
         """Concurrently AOT-compile every kernel program this plan will
@@ -815,6 +855,8 @@ class MultifrontalQR:
     def _kernel_jobs(self):
         """(sig, fn, shape-struct args) for every kernel program the
         factor + solves dispatch, without compiling anything."""
+        if self.dispatch == "group":
+            return self._kernel_jobs_group()
         plan, sched = self.plan, self._sched
         f32, i32 = jnp.float32, jnp.int32
         S = jax.ShapeDtypeStruct
@@ -868,8 +910,67 @@ class MultifrontalQR:
             add("rts", _k_rtsolve, pool_s[b], sl, cj, od, wv, xpad_s)
         return jobs
 
+    def _kernel_jobs_group(self):
+        """Grouped-dispatch program menu: ONE program per (family,
+        bucket shape) — the whole point of mfqr_group."""
+        from .mfqr_group import gk_factor, gk_q, gk_qt, gk_rsolve, \
+            gk_rtsolve
+        plan, gs = self.plan, self._gsched
+        f32, i32 = jnp.float32, jnp.int32
+        S = jax.ShapeDtypeStruct
+        jobs = []
+
+        def add(name, fn, *args, static=()):
+            sig = (name,) + tuple(static) + tuple(
+                (a.shape, str(a.dtype)) for a in jax.tree.leaves(args))
+            jobs.append((sig, fn, args))
+
+        sc = S((), i32)
+        cbuf_s = S((gs.cbuf_size + 1,), f32)
+        zbuf_s = S((gs.zbuf_size + 1,), f32)
+        bpad_s = S((plan.m + 1,), f32)
+        ypad_s = S((plan.ysize + 1,), f32)
+        xpad_s = S((plan.n + 1,), f32)
+        y_s = S((plan.n,), f32)
+        for b, ss in gs.shapes.items():
+            kelim = min(b[0], b[1])
+            pool_s = S((plan.bucket_count[b], b[0], b[1]), f32)
+            taus_s = S((plan.bucket_count[b], b[1]), f32)
+            st = {k: S(getattr(ss, k).shape, i32)
+                  for k in ("slots", "rowsrc", "sbase", "stride", "crv",
+                            "wv", "cmpos", "bidx", "zrow", "zself",
+                            "outmap", "rslots", "cj", "od", "rwv")}
+            add("gfct",
+                lambda P, T, C, sl, rs, sb, stv, cr, wv, cp, ba, ns,
+                ke=kelim: gk_factor(P, T, C, sl, rs, sb, stv, cr, wv,
+                                    cp, ba, ns, ke),
+                pool_s, taus_s, cbuf_s, st["slots"], st["rowsrc"],
+                st["sbase"], st["stride"], st["crv"], st["wv"],
+                st["cmpos"], sc, sc, static=(kelim,))
+            add("gqt",
+                lambda P, T, Z, Y, B, sl, bi, zr, zs, om, ba, ns,
+                ke=kelim: gk_qt(P, T, Z, Y, B, sl, bi, zr, zs, om, ba,
+                                ns, ke),
+                pool_s, taus_s, zbuf_s, ypad_s, bpad_s, st["slots"],
+                st["bidx"], st["zrow"], st["zself"], st["outmap"], sc,
+                sc, static=(kelim,))
+            add("gq",
+                lambda P, T, Z, B, Y, sl, bi, zr, zs, om, ba, ns,
+                ke=kelim: gk_q(P, T, Z, B, Y, sl, bi, zr, zs, om, ba,
+                               ns, ke),
+                pool_s, taus_s, zbuf_s, bpad_s, ypad_s, st["slots"],
+                st["bidx"], st["zrow"], st["zself"], st["outmap"], sc,
+                sc, static=(kelim,))
+            add("grs", gk_rsolve, pool_s, xpad_s, y_s, st["rslots"],
+                st["cj"], st["od"], st["rwv"], sc, sc)
+            add("grts", gk_rtsolve, pool_s, xpad_s, st["rslots"],
+                st["cj"], st["od"], st["rwv"], sc, sc)
+            wv, WB = self._rdiag_maps[b]
+            add("rdiag", _k_rdiag, pool_s, wv, S((WB,), f32))
+        return jobs
+
     def factor(self) -> bool:
-        plan, sched = self.plan, self._sched
+        plan = self.plan
         # idempotent: on the axon relay this compiles the plan's
         # not-yet-cached programs CONCURRENTLY (serial relay compiles
         # at ~24 s each dominate first-run wall otherwise); on CPU it
@@ -878,31 +979,62 @@ class MultifrontalQR:
         pools = {b: jnp.asarray(v) for b, v in plan.pool_init.items()}
         taus = {b: jnp.zeros((plan.bucket_count[b], b[1]), jnp.float32)
                 for b in plan.buckets}
-        fi = ai = 0
-        for lvl in range(plan.nlevels):
-            while ai < len(sched.assemble) and sched.assemble[ai][0] == lvl:
-                _, cb, pb, psl, csl, RM, CM = sched.assemble[ai]
-                pools[pb] = _dispatch("asm", _k_assemble, pools[pb],
-                                      pools[cb], psl, csl, RM, CM)
-                ai += 1
-            while fi < len(sched.factor) and sched.factor[fi][0] == lvl:
-                _, b, kelim, sl = sched.factor[fi]
-                pools[b], taus[b] = _dispatch(
-                    "qrf", lambda P, T, S, ke=kelim: _k_factor(P, T, S, ke),
-                    pools[b], taus[b], sl, static=(kelim,))
-                fi += 1
+        if self.dispatch == "group":
+            pools, taus = self._factor_group(pools, taus)
+        else:
+            sched = self._sched
+            fi = ai = 0
+            for lvl in range(plan.nlevels):
+                while (ai < len(sched.assemble)
+                       and sched.assemble[ai][0] == lvl):
+                    _, cb, pb, psl, csl, RM, CM = sched.assemble[ai]
+                    pools[pb] = _dispatch("asm", _k_assemble, pools[pb],
+                                          pools[cb], psl, csl, RM, CM)
+                    ai += 1
+                while (fi < len(sched.factor)
+                       and sched.factor[fi][0] == lvl):
+                    _, b, kelim, sl = sched.factor[fi]
+                    pools[b], taus[b] = _dispatch(
+                        "qrf",
+                        lambda P, T, S, ke=kelim: _k_factor(P, T, S, ke),
+                        pools[b], taus[b], sl, static=(kelim,))
+                    fi += 1
         mn, finite = self._rdiag_check(pools)
         self.rank_ok = finite and mn > 0.0
         if finite:
             self.pools, self.taus = pools, taus
         return self.rank_ok
 
+    def _factor_group(self, pools, taus):
+        """Grouped runtime-schedule factor: per (level, shape) launch
+        of the one-per-shape stacked program (see mfqr_group)."""
+        from .mfqr_group import gk_factor
+        plan, gs = self.plan, self._gsched
+        gs.upload()
+        cbuf = jnp.zeros(gs.cbuf_size + 1, jnp.float32)
+        for lvl in range(plan.nlevels):
+            for b, ss in gs.shapes.items():
+                span = ss.spans.get(lvl)
+                if span is None:
+                    continue
+                kelim = min(b[0], b[1])
+                d = ss.dev
+                pools[b], taus[b], cbuf = _dispatch(
+                    "gfct",
+                    lambda P, T, C, sl, rs, sb, st, cr, wv, cp, ba, ns,
+                    ke=kelim: gk_factor(P, T, C, sl, rs, sb, st, cr,
+                                        wv, cp, ba, ns, ke),
+                    pools[b], taus[b], cbuf, d["slots"], d["rowsrc"],
+                    d["sbase"], d["stride"], d["crv"], d["wv"],
+                    d["cmpos"], jnp.int32(span[0]), jnp.int32(span[1]),
+                    static=(kelim,))
+        return pools, taus
+
     def _rdiag_check(self, pools):
         """(min |R_kk|, all-finite) over the factored pools."""
-        plan, sched = self.plan, self._sched
         mn, finite = np.inf, True
-        for b in plan.buckets:
-            wv, WB = sched.rdiag[b]
+        for b in self.plan.buckets:
+            wv, WB = self._rdiag_maps[b]
             d, fin = _dispatch("rdiag", _k_rdiag, pools[b], wv,
                                jnp.zeros(WB, jnp.float32))
             mn = min(mn, float(d))
@@ -920,6 +1052,8 @@ class MultifrontalQR:
     # ------------------------------------------------------- raw passes
     def _qt_pass(self, bpad):
         """Q'b: bpad (m+1,) jnp f32 -> ypad (ysize+1,) jnp f32."""
+        if self.dispatch == "group":
+            return self._qt_pass_group(bpad)
         plan, sched = self.plan, self._sched
         ypad = jnp.zeros(plan.ysize + 1, jnp.float32)
         if sched.pass_rows is not None:
@@ -951,6 +1085,8 @@ class MultifrontalQR:
 
     def _q_pass(self, ypad):
         """Qy: ypad (ysize+1,) jnp f32 -> bpad (m+1,) jnp f32."""
+        if self.dispatch == "group":
+            return self._q_pass_group(ypad)
         plan, sched = self.plan, self._sched
         bvec = jnp.zeros(plan.m + 1, jnp.float32)
         if sched.pass_rows is not None:
@@ -983,8 +1119,24 @@ class MultifrontalQR:
 
     def _rsolve_pass(self, y):
         """x = R \\ y for y (n,) jnp f32, reverse level order."""
-        plan, sched = self.plan, self._sched
+        plan = self.plan
         xpad = jnp.zeros(plan.n + 1, jnp.float32)
+        if self.dispatch == "group":
+            from .mfqr_group import gk_rsolve
+            gs = self._gsched
+            gs.upload()
+            for lvl in range(plan.nlevels - 1, -1, -1):
+                for b, ss in gs.shapes.items():
+                    span = ss.spans.get(lvl)
+                    if span is None:
+                        continue
+                    d = ss.dev
+                    xpad = _dispatch(
+                        "grs", gk_rsolve, self.pools[b], xpad, y,
+                        d["rslots"], d["cj"], d["od"], d["rwv"],
+                        jnp.int32(span[0]), jnp.int32(span[1]))
+            return xpad[:plan.n]
+        sched = self._sched
         for lvl, b, sl, cj, od, wv in reversed(sched.rsolve):
             xpad = _dispatch("rs", _k_rsolve, self.pools[b], sl, cj,
                              od, wv, xpad, y)
@@ -992,12 +1144,80 @@ class MultifrontalQR:
 
     def _rtsolve_pass(self, bq):
         """z = R' \\ bq for bq (n,) jnp f32, forward level order."""
-        plan, sched = self.plan, self._sched
+        plan = self.plan
         ypad = jnp.concatenate([bq, jnp.zeros(1, jnp.float32)])
+        if self.dispatch == "group":
+            from .mfqr_group import gk_rtsolve
+            gs = self._gsched
+            gs.upload()
+            for lvl in range(plan.nlevels):
+                for b, ss in gs.shapes.items():
+                    span = ss.spans.get(lvl)
+                    if span is None:
+                        continue
+                    d = ss.dev
+                    ypad = _dispatch(
+                        "grts", gk_rtsolve, self.pools[b], ypad,
+                        d["rslots"], d["cj"], d["od"], d["rwv"],
+                        jnp.int32(span[0]), jnp.int32(span[1]))
+            return ypad[:plan.n]
+        sched = self._sched
         for lvl, b, sl, cj, od, wv in sched.rsolve:
             ypad = _dispatch("rts", _k_rtsolve, self.pools[b], sl, cj,
                              od, wv, ypad)
         return ypad[:plan.n]
+
+    def _qt_pass_group(self, bpad):
+        from .mfqr_group import gk_qt
+        plan, gs = self.plan, self._gsched
+        gs.upload()
+        ypad = jnp.zeros(plan.ysize + 1, jnp.float32)
+        if self._pass_rows is not None:
+            ypad = ypad.at[self._pass_slots].set(bpad[self._pass_rows])
+        zvbuf = jnp.zeros(gs.zbuf_size + 1, jnp.float32)
+        for lvl in range(plan.nlevels):
+            for b, ss in gs.shapes.items():
+                span = ss.spans.get(lvl)
+                if span is None:
+                    continue
+                kelim = min(b[0], b[1])
+                d = ss.dev
+                zvbuf, ypad = _dispatch(
+                    "gqt",
+                    lambda P, T, Z, Y, B, sl, bi, zr, zs, om, ba, ns,
+                    ke=kelim: gk_qt(P, T, Z, Y, B, sl, bi, zr, zs, om,
+                                    ba, ns, ke),
+                    self.pools[b], self.taus[b], zvbuf, ypad, bpad,
+                    d["slots"], d["bidx"], d["zrow"], d["zself"],
+                    d["outmap"], jnp.int32(span[0]), jnp.int32(span[1]),
+                    static=(kelim,))
+        return ypad.at[plan.ysize].set(0.0)
+
+    def _q_pass_group(self, ypad):
+        from .mfqr_group import gk_q
+        plan, gs = self.plan, self._gsched
+        gs.upload()
+        bvec = jnp.zeros(plan.m + 1, jnp.float32)
+        if self._pass_rows is not None:
+            bvec = bvec.at[self._pass_rows].set(ypad[self._pass_slots])
+        zvbuf = jnp.zeros(gs.zbuf_size + 1, jnp.float32)
+        for lvl in range(plan.nlevels - 1, -1, -1):
+            for b, ss in gs.shapes.items():
+                span = ss.spans.get(lvl)
+                if span is None:
+                    continue
+                kelim = min(b[0], b[1])
+                d = ss.dev
+                zvbuf, bvec = _dispatch(
+                    "gq",
+                    lambda P, T, Z, B, Y, sl, bi, zr, zs, om, ba, ns,
+                    ke=kelim: gk_q(P, T, Z, B, Y, sl, bi, zr, zs, om,
+                                   ba, ns, ke),
+                    self.pools[b], self.taus[b], zvbuf, bvec, ypad,
+                    d["slots"], d["bidx"], d["zrow"], d["zself"],
+                    d["outmap"], jnp.int32(span[0]), jnp.int32(span[1]),
+                    static=(kelim,))
+        return bvec.at[plan.m].set(0.0)
 
     # ---------------------------------------------------------- operators
     def apply_qt(self, b: np.ndarray) -> np.ndarray:
