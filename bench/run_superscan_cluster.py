@@ -85,8 +85,9 @@ def main():
     F = SuperscanCholesky(A, order=args.order)
     t_plan = time.perf_counter() - t0
     plan = F.plan
-    n_bodies = sum(len(lad) for s in plan.segments
-                   for lad in s.ladders.values())
+    # compile-relevant count: bodies per unique program signature
+    # (segments sharing a signature compile once)
+    n_bodies = plan.n_ladder_bodies
     log(f"plan: {t_plan:.1f}s, panels={len(plan.panels)}, "
         f"levels={plan.nlevels}, segments={len(plan.segments)}, "
         f"programs={plan.n_program_sigs}, ladder_bodies={n_bodies}")
