@@ -205,6 +205,49 @@ def test_sell_apply_permuted(rng):
     assert np.allclose(y, y2, rtol=1e-5, atol=1e-6)
 
 
+def test_sell_identity_first_ordering(rng):
+    """Identity-first SELL ordering (VERDICT r4 item 7): an input that
+    is ALREADY low-bandwidth keeps the identity permutation (one-shot
+    apply then runs with ZERO n-sized permutation transports), while a
+    shuffled copy of the same matrix engages RCM — and both reproduce
+    the host gaxpy."""
+    import scipy.sparse as sp
+    from tpusparse.core import CSCMatrix
+    from tpusparse.core.ops import gaxpy
+    from tpusparse.device.spmv import spmv_plan
+    n = 16384
+    # 16 column tiles: small n is trivially identity-coverable (any
+    # <=4096-column matrix fits max_tw window slots outright), so the
+    # shuffle case needs enough tiles that coverage can actually fail.
+    # banded: bandwidth 12 — every 128-row block's columns live in at
+    # most two 1024-tiles, so identity coverage holds
+    diags = [rng.normal(size=n - abs(k)) for k in range(-12, 13)]
+    M = sp.diags(diags, list(range(-12, 13)), format="csc")
+    M = (M + M.T + sp.eye(n) * 30).tocsc()
+    M.sort_indices()
+    A = CSCMatrix(n, n, M.indptr, M.indices, M.data)
+    plan = spmv_plan(A, mode="sell")
+    assert plan.mode == "sell"
+    assert np.array_equal(plan.perm, np.arange(n))
+    x = rng.normal(size=n).astype(np.float32)
+    y = np.asarray(plan.apply(x))
+    yref = gaxpy(A, x, np.zeros(n))
+    assert np.abs(y - yref).max() / np.abs(yref).max() < 1e-5
+
+    # the same matrix under a random symmetric shuffle: identity
+    # windows can't cover, RCM must engage (and recover the band)
+    q = rng.permutation(n)
+    Ms = M[q][:, q].tocsc()
+    Ms.sort_indices()
+    As = CSCMatrix(n, n, Ms.indptr, Ms.indices, Ms.data)
+    plan_s = spmv_plan(As, mode="sell")
+    assert plan_s.mode == "sell"
+    assert not np.array_equal(plan_s.perm, np.arange(n))
+    ys = np.asarray(plan_s.apply(x))
+    ysref = gaxpy(As, x, np.zeros(n))
+    assert np.abs(ys - ysref).max() / np.abs(ysref).max() < 1e-5
+
+
 # ------------------------------------------------------- seg (power-law)
 def _ba_graph(n, m0=4, seed=0):
     """Barabasi-Albert preferential attachment (power-law degrees)."""

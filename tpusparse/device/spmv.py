@@ -208,79 +208,111 @@ def _build_sell(A: CSCMatrix, max_s: int = None, max_tw: int = 4):
     from ..symbolic.rcm import rcm
     from ..core.ops import permute
     from ..core.perm import pinv as _pinv
-    p = rcm(A)
-    piv = _pinv(p)
-    C = permute(A, piv, p, values=True)
-    # CSR-style entries grouped by row (RCM coordinates)
-    cols_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(C.indptr))
-    rows_e, cols_e, vals_e = C.indices, cols_of, C.data
-    order = np.argsort(rows_e, kind="stable")
-    rows_e, cols_e, vals_e = rows_e[order], cols_e[order], vals_e[order]
     NB = round_up(n, 128) // 128
-    rptr = np.zeros(n + 2, np.int64)
-    np.add.at(rptr, rows_e + 1, 1)
-    rptr = np.cumsum(rptr)
-    # window slots: each block gets TW INDEPENDENT x tiles (its top-TW
-    # tiles by entry count), not a consecutive run — on kNN-class
-    # graphs the far neighbours of a 128-row block cluster in one or
-    # two remote tiles, so 3 slots cover ~100% where consecutive
-    # windows spilled 1-2% to the (latency-dominated) XLA COO pass.
-    # TW = smallest count covering >=99.5% of entries, capped.
     ntiles = max(-(-n // TILE), 1)
-    tile_e = cols_e // TILE
-    blk = rows_e // 128
-    win = np.zeros((NB, max_tw), np.int64)
-    topcnt = np.zeros((NB, max_tw), np.int64)
-    for b in range(NB):
-        lo, hi = rptr[b * 128], rptr[min((b + 1) * 128, n)]
-        te = tile_e[lo:hi]
-        if te.size == 0:
-            continue
-        vals_u, cnts = np.unique(te, return_counts=True)
-        o = np.argsort(cnts)[::-1][:max_tw]
-        win[b, :o.size] = vals_u[o]
-        topcnt[b, :o.size] = cnts[o]
-    tot = max(rows_e.size, 1)
-    cum = np.cumsum(topcnt.sum(axis=0))
-    TW = (int(np.argmax(cum >= tot * 0.995)) + 1 if rows_e.size
-          else 1)
-    TW = min(max(TW, 1), max_tw)
-    win = np.ascontiguousarray(win[:, :TW])
-    slot_e = np.full(rows_e.size, -1, np.int64)
-    for j in range(TW):
-        m = (tile_e == win[blk, j]) & (slot_e < 0)
-        slot_e[m] = j
-    pos = slot_e * TILE + (cols_e % TILE)
-    ok = slot_e >= 0
-    lane = rows_e % 128
-    idx_in = np.where(ok)[0]
-    if version == 2:
-        q_of = (pos[idx_in] >> 7) & 7
-        grp = rows_e[idx_in] * 8 + q_of
+
+    def _pack(C):
+        """Window selection + slab packing for one candidate ordering;
+        returns every array the slab builder needs plus the spill
+        count, so orderings can be compared before committing."""
+        # CSR-style entries grouped by row (candidate coordinates)
+        cols_of = np.repeat(np.arange(n, dtype=np.int64),
+                            np.diff(C.indptr))
+        rows_e, cols_e, vals_e = C.indices, cols_of, C.data
+        order = np.argsort(rows_e, kind="stable")
+        rows_e = rows_e[order]
+        cols_e = cols_e[order]
+        vals_e = vals_e[order]
+        rptr = np.zeros(n + 2, np.int64)
+        np.add.at(rptr, rows_e + 1, 1)
+        rptr = np.cumsum(rptr)
+        # window slots: each block gets TW INDEPENDENT x tiles (its
+        # top-TW tiles by entry count), not a consecutive run — on
+        # kNN-class graphs the far neighbours of a 128-row block
+        # cluster in one or two remote tiles, so 3 slots cover ~100%
+        # where consecutive windows spilled 1-2% to the
+        # (latency-dominated) XLA COO pass.  TW = smallest count
+        # covering >=99.5% of entries, capped.
+        tile_e = cols_e // TILE
+        blk = rows_e // 128
+        win = np.zeros((NB, max_tw), np.int64)
+        topcnt = np.zeros((NB, max_tw), np.int64)
+        for b in range(NB):
+            lo, hi = rptr[b * 128], rptr[min((b + 1) * 128, n)]
+            te = tile_e[lo:hi]
+            if te.size == 0:
+                continue
+            vals_u, cnts = np.unique(te, return_counts=True)
+            o = np.argsort(cnts)[::-1][:max_tw]
+            win[b, :o.size] = vals_u[o]
+            topcnt[b, :o.size] = cnts[o]
+        tot = max(rows_e.size, 1)
+        cum = np.cumsum(topcnt.sum(axis=0))
+        TW = (int(np.argmax(cum >= tot * 0.995)) + 1 if rows_e.size
+              else 1)
+        TW = min(max(TW, 1), max_tw)
+        win = np.ascontiguousarray(win[:, :TW])
+        slot_e = np.full(rows_e.size, -1, np.int64)
+        for j in range(TW):
+            m = (tile_e == win[blk, j]) & (slot_e < 0)
+            slot_e[m] = j
+        pos = slot_e * TILE + (cols_e % TILE)
+        ok = slot_e >= 0
+        lane = rows_e % 128
+        idx_in = np.where(ok)[0]
+        if version == 2:
+            q_of = (pos[idx_in] >> 7) & 7
+            grp = rows_e[idx_in] * 8 + q_of
+        else:
+            grp = rows_e[idx_in]
+        o2 = np.argsort(grp, kind="stable")
+        gs = grp[o2]
+        cc = np.zeros(gs.size, np.int64)
+        if gs.size:
+            newg = np.concatenate([[True], gs[1:] != gs[:-1]])
+            gstart = np.where(newg)[0]
+            glen = np.diff(np.concatenate([gstart, [gs.size]]))
+            cc0 = np.arange(gs.size) - np.repeat(gstart, glen)
+            cc[o2] = cc0
+        if version == 2:
+            s_of = cc
+        else:
+            s_of, q_of = cc // 8, cc % 8
+        keep = s_of < max_s
+        kept = idx_in[keep]
+        # spill: out-of-window entries + per-slot overflow
+        spm = np.ones(rows_e.size, bool)
+        spm[kept] = False
+        return dict(rows_e=rows_e, cols_e=cols_e, vals_e=vals_e,
+                    win=win, TW=TW, blk=blk, lane=lane, pos=pos,
+                    kept=kept, s_k=s_of[keep], q_k=q_of[keep],
+                    sr=rows_e[spm], sc=cols_e[spm], sv=vals_e[spm])
+
+    # identity-first ordering (VERDICT r4 item 7): a matrix that is
+    # ALREADY low-bandwidth (mesh-ordered FEM, banded, prior-RCM input)
+    # covers its windows without any permutation, and the one-shot
+    # apply then needs ZERO n-sized permutation transports — the
+    # transports are the dominant one-shot cost on the relay (~3x the
+    # kernel, BASELINE.md round-3/4 studies).  RCM is engaged only when
+    # the identity packing spills more than TPUSPARSE_SELL_ID_SPILL_MAX
+    # (default 1%) of the entries to the latency-dominated COO pass.
+    id_tol = float(os.environ.get("TPUSPARSE_SELL_ID_SPILL_MAX",
+                                  "0.01"))
+    pk = _pack(A)
+    if pk["sr"].size <= id_tol * max(A.nnz, 1):
+        p = np.arange(n, dtype=np.int64)
+        piv = p
+        identity = True
     else:
-        grp = rows_e[idx_in]
-    o2 = np.argsort(grp, kind="stable")
-    gs = grp[o2]
-    cc = np.zeros(gs.size, np.int64)
-    if gs.size:
-        newg = np.concatenate([[True], gs[1:] != gs[:-1]])
-        gstart = np.where(newg)[0]
-        glen = np.diff(np.concatenate([gstart, [gs.size]]))
-        cc0 = np.arange(gs.size) - np.repeat(gstart, glen)
-        cc[o2] = cc0
-    if version == 2:
-        s_of = cc
-    else:
-        s_of, q_of = cc // 8, cc % 8
-    keep = s_of < max_s
-    kept = idx_in[keep]
-    s_k, q_k = s_of[keep], q_of[keep]
-    # spill: out-of-window entries + per-slot overflow
-    spm = np.ones(rows_e.size, bool)
-    spm[kept] = False
-    sr = rows_e[spm]
-    sc = cols_e[spm]
-    sv = vals_e[spm]
+        p = rcm(A)
+        piv = _pinv(p)
+        pk = _pack(permute(A, piv, p, values=True))
+        identity = False
+    rows_e, cols_e, vals_e = pk["rows_e"], pk["cols_e"], pk["vals_e"]
+    win, TW, blk, lane, pos = (pk["win"], pk["TW"], pk["blk"],
+                               pk["lane"], pk["pos"])
+    kept, s_k, q_k = pk["kept"], pk["s_k"], pk["q_k"]
+    sr, sc, sv = pk["sr"], pk["sc"], pk["sv"]
     nsp = sr.size
     # per-block S class from the max used sub-step
     smax_blk = np.zeros(NB, np.int64)
@@ -344,6 +376,10 @@ def _build_sell(A: CSCMatrix, max_s: int = None, max_tw: int = 4):
 
     def apply_fn(sr_d, sc_d, sv_d, pvec_d, piv_d, *bufs_and_x):
         *flat, x = bufs_and_x
+        if identity:
+            # zero-transport one-shot: windows cover in the input's own
+            # ordering, so y = kernel(x) directly
+            return kernel_fn(sr_d, sc_d, sv_d, *flat, x)
         if perm_mode == "sort":
             # xp[i] = x[p[i]]  <=>  values of x sorted by keys pinv
             _, xp = jax.lax.sort_key_val(piv_d, x)
