@@ -1150,8 +1150,15 @@ def plan_superscan(A: CSCMatrix, order: int = 1, wmax: int = None,
     global_remap = None         # cluster mode: one menu for all chunks
     if seg_mode == "cluster":
         nch_env = os.environ.get("TPUSPARSE_SEG_CHUNKS")
+        # default chunk size ~2 steps (cap 192 chunks): plan-side sweep
+        # at canonical 3D n=13,824 measured waste 0.4092 (S_chunk=4) ->
+        # 0.3990 (S=3) -> 0.3970 (S=2, the knee; S=1 only 0.3969 and
+        # occupancy drops), 2D n=262,144: 0.4839 -> 0.4696, 3D
+        # n=110,592: 0.1529 -> 0.1475 — programs stay at 8 in every
+        # case (shared cluster signatures), the cost is one extra relay
+        # dispatch per chunk at factor time (~10-20 ms each)
         ncht = (int(nch_env) if nch_env
-                else min(96, max(1, nsteps // 4)))
+                else min(192, max(1, -(-nsteps // 2))))
         S_chunk = -(-nsteps // max(min(ncht, nsteps), 1))
         nchunks = -(-nsteps // S_chunk)
         bnds = [min(i * S_chunk, nsteps) for i in range(nchunks + 1)]
