@@ -25,6 +25,12 @@ import time
 import numpy as np
 
 
+def sig4(x):
+    """4-significant-digit rounding: tiny CPU-contract runs must not
+    round a positive rate down to 0.0 (test_contracts guards value>0)."""
+    return float(f"{x:.4g}")
+
+
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
@@ -140,18 +146,23 @@ def bench_lu_row():
     """SuperscanLU leg: unsymmetric 3D convection-diffusion with
     within-panel threshold pivoting and a device-resident solve.
 
-    Size: g=32 (n=32,768) on hardware — the waste-~0.1-class regime the
-    engine is built for (VERDICT r4 item 5: the old n=4,096 leg showed
-    waste 0.786, the worst possible snapshot of an engine whose
-    demonstrated regime is n=110,592 at waste 0.108 —
-    artifacts/bench_tpu_lu_3d_110592)."""
+    Size: g=40 (n=64,000) at natural order on hardware — the
+    waste-~0.17-class regime the engine is built for (VERDICT r4
+    item 5: the old n=4,096 leg showed waste 0.786, the worst possible
+    snapshot of an engine whose demonstrated regime is n=110,592 at
+    waste 0.108 — artifacts/bench_tpu_lu_3d_110592).  Natural order
+    keeps the band so the filled-band supernodes pad ~4x less than the
+    AMD ordering at this size (measured: order=0 waste 0.170 vs
+    order=1 0.646 at g=40)."""
     from tpusparse.demo import resid_metric
     from tpusparse.device.superscan_lu import SuperscanLU
     cpu = bool(os.environ.get("TPUSPARSE_BENCH_CPU"))
-    g = int(os.environ.get("TPUSPARSE_BENCH_LU_G", "10" if cpu else "32"))
+    g = int(os.environ.get("TPUSPARSE_BENCH_LU_G", "10" if cpu else "40"))
+    order = int(os.environ.get("TPUSPARSE_BENCH_LU_ORDER",
+                               "1" if cpu else "0"))
     A = conv_diff_3d(g)
     t0 = time.perf_counter()
-    F = SuperscanLU(A, order=1, max_segments=8)
+    F = SuperscanLU(A, order=order, max_segments=12)
     t_plan = time.perf_counter() - t0
     t0 = time.perf_counter()
     ok = F.factor()
@@ -163,7 +174,7 @@ def bench_lu_row():
         f"waste={F.plan.waste_ratio:.3f} resid={r:.2e}")
     return {
         "engine": "superscan_lu", "n": A.n, "nnz": A.nnz,
-        "grid": f"3d conv-diff g={g}",
+        "grid": f"3d conv-diff g={g}", "order": order,
         "metric": "lu_flops_true", "value": F.plan.flops_true,
         "unit": "flop", "value_semantics": "structural",
         "flops_padded": F.plan.flops_padded,
@@ -297,7 +308,7 @@ def _bench_dp_row(A, order, jax, jnp):
         "engine": "superscan_chol_dp8",
         "schedule": "dp/no-ladder (continuity leg, combined program)",
         "n": A.n, "nnz": A.nnz,
-        "metric": "chol_relay_clock_gflops", "value": round(gflops, 2),
+        "metric": "chol_relay_clock_gflops", "value": sig4(gflops),
         "unit": "GFLOP/s(relay-clock,f32,true-flops)",
         "value_semantics": "relay_clock",
         "flops_true": plan.flops_true,
@@ -592,7 +603,7 @@ def main():
         "lnz": int(Sy.lnz),
         "schedule": ("cluster+ladder (production default, EXECUTED)"
                      if engine == "superscan" else engine),
-        "metric": "chol_relay_clock_gflops", "value": round(gflops, 2),
+        "metric": "chol_relay_clock_gflops", "value": sig4(gflops),
         "unit": "GFLOP/s(relay-clock,f32,true-flops)",
         "value_semantics": "relay_clock",
         "flops_true": plan.flops_true,
@@ -634,7 +645,7 @@ def main():
         # per-segment dispatch) as of r5; the dp/no-ladder combined leg
         # that r3/r4 timed survives as the superscan_chol_dp8 row.
         "metric": "supernodal_cholesky_relay_clock_gflops",
-        "value": round(gflops, 2),
+        "value": sig4(gflops),
         "unit": "GFLOP/s(relay-clock,f32,true-flops)",
         "value_semantics": "relay_clock",
         "schedule": ("cluster+ladder (production default, EXECUTED)"

@@ -187,6 +187,29 @@ def main():
         out[f"{mode}_gbs"] = round(gbs, 2)
         out[f"{mode}_t_us"] = round(t * 1e6, 1)
 
+    if graph != "ba":
+        # one-shot end-to-end for the SHIPPED default (VERDICT r4 item
+        # 7): the full apply, transports included.  Two presentations
+        # of the same operator: the shuffled kNN input above engages
+        # RCM + sort transports (sell_gbs IS that end-to-end number),
+        # and the SAME matrix presented in its RCM order — the
+        # mesh-ordered/banded case the identity-first packing exists
+        # for — runs with ZERO n-sized transports.
+        from tpusparse.symbolic.rcm import rcm
+        from tpusparse.core.ops import permute
+        from tpusparse.core.perm import pinv as _pinv
+        p = rcm(A)
+        Ar = permute(A, _pinv(p), p, values=True)
+        pr = spmv_plan(Ar, mode="sell")
+        ident = bool((np.asarray(pr.perm) == np.arange(A.n)).all())
+        tr = measure(pr, Ar.n, jax, jnp)
+        gbr = pr.bytes_min / tr / 1e9
+        log(f"one-shot, low-bandwidth presentation (identity={ident}):"
+            f" {tr*1e6:.1f} us -> {gbr:.2f} GB/s end-to-end")
+        out["oneshot_lowbw_gbs"] = round(gbr, 2)
+        out["oneshot_lowbw_identity"] = ident
+        out["oneshot_shuffled_gbs"] = out.get("sell_gbs")
+
     # DIA reference (banded): the relay-floor comparator
     gs = int(round(n ** 0.5))
     Ab, _ = grid_spd(gs)
