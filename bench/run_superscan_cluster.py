@@ -111,7 +111,11 @@ def main():
         p = _factor(plan, {pw: v for pw, v in pools0.items()})
         jax.block_until_ready(list(p.values()))
         ts.append(time.perf_counter() - t0)
+        del p                   # free the warm-run pool copy (HBM)
     t_factor = min(ts)
+    del pools0                  # lnz=184M-class pools are ~1.1GB each;
+    # keeping init + factored + warm copies alive OOMed the solve's
+    # schedule upload on hardware (round 5)
     gflops = plan.flops_true / t_factor / 1e9
     log(f"factor: warm {t_factor*1e3:.1f} ms -> {gflops:.1f} GF/s true "
         f"(relay-clock, per-segment dispatch)")

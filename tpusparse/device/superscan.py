@@ -1582,6 +1582,21 @@ def _segment_factor(seg_keys: Tuple, shard_fn=None,
     has_agg = scratch_rows > 0
     use_pallas_chol = bool(os.environ.get("TPUSPARSE_PALLAS_CHOL"))
     use_pallas_trsm = bool(os.environ.get("TPUSPARSE_PALLAS_TRSM"))
+    # per-step transient-gather budget: a single scan step whose unit
+    # batch gathers >~150MB kernel-faults the axon worker (seg8 dp at
+    # 3D n=262,144: the 2,580-unit step gathers 169MB and crashed 2/2
+    # in round 5 after surviving 2/2 in round 3 — it straddles the
+    # threshold).  Steps above the budget process their units in
+    # sequential <=cap chunks INSIDE the body — same flops, same
+    # scatter results (within one step, finalized source rows and
+    # accumulating target rows are disjoint by the level schedule), no
+    # planner/EDF change; steps under the cap compile to the identical
+    # program.  Mirrors TPUSPARSE_SOLVE_SLOT_CAP on the solve side.
+    gmb = float(os.environ.get("TPUSPARSE_STEP_GATHER_MB", "64"))
+    gbytes = int(gmb * (1 << 20)) if gmb > 0 else 0
+
+    def _cap(unit_bytes: int) -> int:
+        return max(1, gbytes // max(unit_bytes, 1)) if gbytes else 1 << 30
     # the sharded body applies shard_fn to full-capacity batches; its
     # per-branch shapes would fight the mesh partitioner — mask mode
     ladders = {} if shard_fn is not None else (ladders or {})
@@ -1637,42 +1652,50 @@ def _segment_factor(seg_keys: Tuple, shard_fn=None,
 
                 def upd_bs(bs, key=key, a=x[key]):
                     kind, pd, ps, H, Wd, Ws = key
+                    cap = _cap(max(H, Ws) * Wd * 4)
 
                     def br(pools):
                         if bs == 0:
                             return pools
-                        srci, tgti = a["src"][:bs], a["tgt"][:bs]
-                        l0i = a["l0"][:bs]
                         flat_d = jax.lax.slice_in_dim(pools[pd], 0, Wd,
                                                       axis=1)
-                        l1 = jnp.where((srci >= 0)[..., None],
-                                       flat_d[jnp.maximum(srci, 0)], 0.0)
-                        l0 = jnp.where((l0i >= 0)[..., None],
-                                       flat_d[jnp.maximum(l0i, 0)], 0.0)
-                        if shard_fn is not None:
-                            l1 = shard_fn(l1)
-                            l0 = shard_fn(l0)
-                        delta = jnp.einsum("uhw,usw->uhs", l1, l0,
-                                           precision=HIGHEST)
+                        acc = pools[ps]
+                        for c0 in range(0, bs, cap):
+                            c1 = min(bs, c0 + cap)
+                            srci = a["src"][c0:c1]
+                            tgti = a["tgt"][c0:c1]
+                            l0i = a["l0"][c0:c1]
+                            l1 = jnp.where(
+                                (srci >= 0)[..., None],
+                                flat_d[jnp.maximum(srci, 0)], 0.0)
+                            l0 = jnp.where(
+                                (l0i >= 0)[..., None],
+                                flat_d[jnp.maximum(l0i, 0)], 0.0)
+                            if shard_fn is not None:
+                                l1 = shard_fn(l1)
+                                l0 = shard_fn(l0)
+                            delta = jnp.einsum("uhw,usw->uhs", l1, l0,
+                                               precision=HIGHEST)
+                            if kind == "upds":
+                                # column-compressed: 2-D element
+                                # scatter at (target row, col) pairs
+                                rowi = jnp.maximum(tgti, 0)[:, :, None]
+                                coli = a["cmap"][c0:c1][:, None, :]
+                                acc = acc.at[
+                                    jnp.broadcast_to(rowi, delta.shape),
+                                    jnp.broadcast_to(coli, delta.shape)
+                                ].add(-delta)
+                            else:
+                                if Ws < acc.shape[1]:
+                                    delta = jnp.pad(
+                                        delta,
+                                        ((0, 0), (0, 0),
+                                         (0, acc.shape[1] - Ws)))
+                                tgts = jnp.maximum(tgti, 0).reshape(-1)
+                                acc = acc.at[tgts].add(
+                                    -delta.reshape(-1, acc.shape[1]))
                         out = dict(pools)
-                        if kind == "upds":
-                            # column-compressed: 2-D element scatter at
-                            # (target row, target col) pairs
-                            rowi = jnp.maximum(tgti, 0)[:, :, None]
-                            coli = a["cmap"][:bs][:, None, :]
-                            out[ps] = pools[ps].at[
-                                jnp.broadcast_to(rowi, delta.shape),
-                                jnp.broadcast_to(coli, delta.shape)
-                            ].add(-delta)
-                        else:
-                            if Ws < pools[ps].shape[1]:
-                                delta = jnp.pad(
-                                    delta,
-                                    ((0, 0), (0, 0),
-                                     (0, pools[ps].shape[1] - Ws)))
-                            tgts = jnp.maximum(tgti, 0).reshape(-1)
-                            out[ps] = pools[ps].at[tgts].add(
-                                -delta.reshape(-1, pools[ps].shape[1]))
+                        out[ps] = acc
                         return out
                     return br
 
@@ -1688,29 +1711,37 @@ def _segment_factor(seg_keys: Tuple, shard_fn=None,
 
                 def chol_bs(bs, key=key, a=x[key]):
                     _, pw, W = key
+                    cap = _cap(W * W * 4)
 
                     def br(pools):
                         if bs == 0:
                             return pools
-                        dbase = a["dbase"][:bs]              # (bs,)
-                        idx = (dbase[:, None]
-                               + jnp.arange(W)[None, :])
-                        P = jax.lax.slice_in_dim(pools[pw], 0, W,
-                                                 axis=1)[idx]
-                        low = jnp.tril(P)
-                        sym = low + jnp.swapaxes(jnp.tril(P, -1), 1, 2)
-                        if use_pallas_chol:
-                            from .kernels.chol_tile import chol_tiles
-                            Lkk = chol_tiles(sym)
-                        else:
-                            Lkk = jnp.linalg.cholesky(sym)
-                        if W < pools[pw].shape[1]:
-                            Lkk = jnp.pad(
-                                Lkk, ((0, 0), (0, 0),
-                                      (0, pools[pw].shape[1] - W)))
+                        acc = pools[pw]
+                        sl = jax.lax.slice_in_dim(pools[pw], 0, W,
+                                                  axis=1)
+                        for c0 in range(0, bs, cap):
+                            c1 = min(bs, c0 + cap)
+                            dbase = a["dbase"][c0:c1]        # (c,)
+                            idx = (dbase[:, None]
+                                   + jnp.arange(W)[None, :])
+                            P = sl[idx]
+                            low = jnp.tril(P)
+                            sym = low + jnp.swapaxes(
+                                jnp.tril(P, -1), 1, 2)
+                            if use_pallas_chol:
+                                from .kernels.chol_tile import \
+                                    chol_tiles
+                                Lkk = chol_tiles(sym)
+                            else:
+                                Lkk = jnp.linalg.cholesky(sym)
+                            if W < acc.shape[1]:
+                                Lkk = jnp.pad(
+                                    Lkk, ((0, 0), (0, 0),
+                                          (0, acc.shape[1] - W)))
+                            acc = acc.at[idx.reshape(-1)].set(
+                                Lkk.reshape(-1, acc.shape[1]))
                         out = dict(pools)
-                        out[pw] = pools[pw].at[idx.reshape(-1)].set(
-                            Lkk.reshape(-1, pools[pw].shape[1]))
+                        out[pw] = acc
                         return out
                     return br
 
@@ -1726,33 +1757,39 @@ def _segment_factor(seg_keys: Tuple, shard_fn=None,
 
                 def trsm_bs(bs, key=key, a=x[key]):
                     _, pw, H, W = key
+                    cap = _cap(H * W * 4)
 
                     def br(pools):
                         if bs == 0:
                             return pools
-                        rows, dbs = a["rows"][:bs], a["dbase"][:bs]
-                        didx = dbs[:, None] + jnp.arange(W)[None, :]
+                        acc = pools[pw]
                         sl = jax.lax.slice_in_dim(pools[pw], 0, W,
                                                   axis=1)
-                        Lkk = sl[didx]                       # (bs, W, W)
-                        X = sl[rows]                         # (bs, H, W)
-                        if use_pallas_trsm:
-                            from .kernels.trsm_tile import \
-                                trsm_tiles_batched
-                            Y = trsm_tiles_batched(Lkk, X)
-                        else:
-                            Y = jax.lax.linalg.triangular_solve(
-                                Lkk, X, left_side=False, lower=True,
-                                transpose_a=True)
-                        if W < pools[pw].shape[1]:
-                            Y = jnp.pad(
-                                Y, ((0, 0), (0, 0),
-                                    (0, pools[pw].shape[1] - W)))
-                            # pad cols of od rows are zero already, and
-                            # Y pad cols are zero here
+                        for c0 in range(0, bs, cap):
+                            c1 = min(bs, c0 + cap)
+                            rows = a["rows"][c0:c1]
+                            dbs = a["dbase"][c0:c1]
+                            didx = dbs[:, None] + jnp.arange(W)[None, :]
+                            Lkk = sl[didx]                  # (c, W, W)
+                            X = sl[rows]                    # (c, H, W)
+                            if use_pallas_trsm:
+                                from .kernels.trsm_tile import \
+                                    trsm_tiles_batched
+                                Y = trsm_tiles_batched(Lkk, X)
+                            else:
+                                Y = jax.lax.linalg.triangular_solve(
+                                    Lkk, X, left_side=False, lower=True,
+                                    transpose_a=True)
+                            if W < acc.shape[1]:
+                                Y = jnp.pad(
+                                    Y, ((0, 0), (0, 0),
+                                        (0, acc.shape[1] - W)))
+                                # pad cols of od rows are zero already,
+                                # and Y pad cols are zero here
+                            acc = acc.at[rows.reshape(-1)].set(
+                                Y.reshape(-1, acc.shape[1]))
                         out = dict(pools)
-                        out[pw] = pools[pw].at[rows.reshape(-1)].set(
-                            Y.reshape(-1, pools[pw].shape[1]))
+                        out[pw] = acc
                         return out
                     return br
 
@@ -2074,17 +2111,41 @@ class SuperscanCholesky:
         """Device-resident solve schedule for segment si, uploaded once
         and cached — each refinement iteration re-runs the solve, and
         re-uploading hundreds of MB of index arrays per call dominated
-        large-n solves on the relay."""
+        large-n solves on the relay.  The cache is BUDGETED
+        (TPUSPARSE_SOLVE_SCHED_CACHE_MB, default 2048): at 3D
+        n=262,144 / lnz=184M the full schedule no longer fits next to
+        the 1.1GB pools (RESOURCE_EXHAUSTED on hardware, round 5), so
+        segments beyond the budget upload transiently per call and are
+        freed when the caller drops the reference."""
         if getattr(self, "_sched_dev_cache", None) is None:
             self._sched_dev_cache = {}
+            self._sched_dev_bytes = 0
         xs = self._sched_dev_cache.get(si)
         if xs is None:
             sched = self._sched()
+            nbytes = sum(a.nbytes for d in sched[si].values()
+                         for a in d.values())
             xs = {k: {nm: jnp.asarray(a)
                       for nm, a in sched[si][k].items()}
                   for k in sorted(sched[si])}
-            self._sched_dev_cache[si] = xs
+            budget = int(os.environ.get(
+                "TPUSPARSE_SOLVE_SCHED_CACHE_MB", "2048")) << 20
+            if self._sched_dev_bytes + nbytes <= budget:
+                self._sched_dev_cache[si] = xs
+                self._sched_dev_bytes += nbytes
         return xs
+
+    def _sched_abs(self, si):
+        """ShapeDtypeStructs of segment si's solve schedule (dtype
+        canonicalized as jnp.asarray would) — compile_many only needs
+        avals, so compilation must not force a device upload of every
+        segment's index arrays at once (that peak OOMed at lnz=184M)."""
+        from jax import dtypes
+        sched = self._sched()
+        return {k: {nm: jax.ShapeDtypeStruct(
+                        a.shape, dtypes.canonicalize_dtype(a.dtype))
+                    for nm, a in sched[si][k].items()}
+                for k in sorted(sched[si])}
 
     def _run_solve(self, xpad: jnp.ndarray) -> jnp.ndarray:
         from .compilepool import compile_many
@@ -2102,7 +2163,7 @@ class SuperscanCholesky:
                     for a in sched[si][k].values())
                 jobs.append((sig, _segment_solve(
                     keys, direction == "solveb"),
-                    (self.pools, xpad, self._sched_dev(si))))
+                    (self.pools, xpad, self._sched_abs(si))))
         compile_many(_JIT_CACHE, jobs)
         for direction in ("solvef", "solveb"):
             order = (range(len(sched)) if direction == "solvef"
